@@ -1,0 +1,184 @@
+"""Public device codec API: batched DBDE encode/decode under ``jax.jit``.
+
+Mirrors the reference's L1/L2 surface (dbde_util.h:21-37) in array-in/
+array-out style:
+
+  * :class:`DbdeCodec` — per-(H, W) compiled encode/decode over frame batches;
+  * :func:`pack_frames_bytes` / :func:`unpack_frames_bytes` — host glue
+    between device arrays and the on-disk frame-data byte layout.
+
+Design: shapes are static per (H, W, batch) so XLA compiles once per camera
+geometry (the DBDE use case is fixed-rate cameras — one geometry per file).
+The payload lives in a worst-case (16 words/tile) buffer on device; the true
+length ``2*n64`` travels alongside and the host slices when serializing.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .format import FrameHeader, tile_grid, packed_image_size
+from .ops.bitpack import MAX_WORDS_PER_TILE, pack_tiles_to_words, unpack_words_to_tiles
+from .ops.payload import compact_payload, gather_windows, word_offsets
+from .ops.tiling import pad_and_tile, untile
+
+
+@dataclass
+class EncodedBatch:
+    """Device-side encoded frames: one row per frame in the batch."""
+
+    depths: jax.Array  # (B, T) u8
+    mins: jax.Array  # (B, T) u8
+    payload: jax.Array  # (B, 16*T) u32, zero-padded past 2*n64
+    n64: jax.Array  # (B,) i32 — number of payload u64 words per frame
+
+
+def _encode_fn(images: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    tiles = pad_and_tile(images)
+    depth, mn, words = pack_tiles_to_words(tiles)
+    offsets, total = word_offsets(depth)
+    payload = compact_payload(words, offsets, total)
+    return depth.astype(jnp.uint8), mn, payload, (total // 2).astype(jnp.int32)
+
+
+def _decode_fn(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    offsets, _ = word_offsets(depths.astype(jnp.int32))
+    windows = gather_windows(payload, offsets)
+    tiles = unpack_words_to_tiles(depths.astype(jnp.int32), mins, windows)
+    return untile(tiles, H, W)
+
+
+class DbdeCodec:
+    """Compiled DBDE codec for a fixed frame geometry.
+
+    >>> codec = DbdeCodec(height=480, width=640)
+    >>> enc = codec.encode(frames_u8)          # (B, H, W) u8 on any backend
+    >>> out = codec.decode(enc.depths, enc.mins, enc.payload)
+    """
+
+    def __init__(self, height: int, width: int):
+        self.height = int(height)
+        self.width = int(width)
+        h, w = tile_grid(self.width, self.height)
+        self.tiles = h * w
+        self.max_payload_words = self.tiles * MAX_WORDS_PER_TILE
+        self._encode = jax.jit(_encode_fn)
+        self._decode = jax.jit(partial(_decode_fn, H=self.height, W=self.width))
+        self._roundtrip = jax.jit(self._roundtrip_fn)
+
+    def _check(self, images) -> jnp.ndarray:
+        images = jnp.asarray(images, dtype=jnp.uint8)
+        single = images.ndim == 2
+        if single:
+            images = images[None]
+        if images.shape[-2:] != (self.height, self.width):
+            raise ValueError(
+                f"expected frames of shape (*, {self.height}, {self.width}), got {images.shape}"
+            )
+        return images, single
+
+    def encode(self, images) -> EncodedBatch:
+        """(B, H, W) or (H, W) u8 frames → :class:`EncodedBatch`."""
+        images, _ = self._check(images)
+        depths, mins, payload, n64 = self._encode(images)
+        return EncodedBatch(depths=depths, mins=mins, payload=payload, n64=n64)
+
+    def decode(self, depths, mins, payload) -> jax.Array:
+        """Encoded arrays → (B, H, W) u8 frames."""
+        return self._decode(
+            jnp.asarray(depths, jnp.uint8),
+            jnp.asarray(mins, jnp.uint8),
+            jnp.asarray(payload, jnp.uint32),
+        )
+
+    def _roundtrip_fn(self, images):
+        depths, mins, payload, n64 = _encode_fn(images)
+        out = _decode_fn(depths, mins, payload, self.height, self.width)
+        return out, n64
+
+    def roundtrip(self, images):
+        """Fused encode→decode (single compiled program); returns (frames, n64)."""
+        images, single = self._check(images)
+        out, n64 = self._roundtrip(images)
+        return (out[0], n64[0]) if single else (out, n64)
+
+
+# ---------------------------------------------------------------------------
+# Host byte glue: device arrays ↔ on-disk frame-data layout
+# ---------------------------------------------------------------------------
+
+
+def pack_frames_bytes(enc: EncodedBatch, indices=None, elapsed_ns=None) -> list[bytes]:
+    """EncodedBatch → list of per-frame bytes (20 B header + frame data).
+
+    Layout parity with dbde_util.cpp:137-196: ``i32 h·w``, depths, ``i32
+    h·w``, minima, ``i32 n64``, payload u64s (little-endian).
+    """
+    depths = np.asarray(enc.depths)
+    mins = np.asarray(enc.mins)
+    payload = np.asarray(enc.payload)
+    n64 = np.asarray(enc.n64)
+    B, T = depths.shape
+    out = []
+    count = struct.pack("<i", T)
+    for b in range(B):
+        idx = int(indices[b]) if indices is not None else b
+        ns = int(elapsed_ns[b]) if elapsed_ns is not None else 0
+        header = FrameHeader(index=idx, elapsed_ns=ns).pack()
+        n = int(n64[b])
+        out.append(
+            b"".join(
+                (
+                    header,
+                    count,
+                    depths[b].tobytes(),
+                    count,
+                    mins[b].tobytes(),
+                    struct.pack("<i", n),
+                    payload[b, : 2 * n].tobytes(),
+                )
+            )
+        )
+    return out
+
+
+def unpack_frames_bytes(buf: bytes, W: int, H: int, offsets: list[int]):
+    """Parse frame-data records at byte ``offsets`` → stacked numpy arrays.
+
+    Returns (depths (B,T) u8, mins (B,T) u8, payload (B,16T) u32, n64 (B,)),
+    ready for :meth:`DbdeCodec.decode`.  Raises ValueError on count-field
+    mismatches (the reference's hard-error parity, dbde_util.cpp:295-303).
+    """
+    h, w = tile_grid(W, H)
+    T = h * w
+    B = len(offsets)
+    depths = np.empty((B, T), np.uint8)
+    mins = np.empty((B, T), np.uint8)
+    payload = np.zeros((B, T * MAX_WORDS_PER_TILE), np.uint32)
+    n64s = np.empty((B,), np.int32)
+    for b, off in enumerate(offsets):
+        (nb,) = struct.unpack_from("<i", buf, off)
+        if nb != T:
+            raise ValueError(f"frame {b}: depth count {nb} != {T}")
+        depths[b] = np.frombuffer(buf, np.uint8, T, off + 4)
+        (nm,) = struct.unpack_from("<i", buf, off + 4 + T)
+        if nm != T:
+            raise ValueError(f"frame {b}: min count {nm} != {T}")
+        mins[b] = np.frombuffer(buf, np.uint8, T, off + 8 + T)
+        (n64,) = struct.unpack_from("<i", buf, off + 8 + 2 * T)
+        if n64 != int(depths[b].astype(np.int64).sum()):
+            raise ValueError(f"frame {b}: n64 {n64} != sum of depths")
+        payload[b, : 2 * n64] = np.frombuffer(buf, np.uint32, 2 * n64, off + 12 + 2 * T)
+        n64s[b] = n64
+    return depths, mins, payload, n64s
+
+
+def frame_data_size(depths_row: np.ndarray, W: int, H: int) -> int:
+    """Encoded byte size of one frame's data block."""
+    return packed_image_size(W, H, int(depths_row.astype(np.int64).sum()))
