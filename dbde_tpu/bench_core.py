@@ -1,0 +1,103 @@
+"""Device codec throughput benchmark (the reference's rdtsc harness,
+re-done as wall-clock Gpix/s on the accelerator).
+
+Reference harness: one 2536×2048 random frame, rdtsc cycles → fps at an
+assumed 3.33 GHz (dbde_util_test.cpp:303-364).  Measured there: encode
+≈2.5 Gpix/s, decode ≈2.6 Gpix/s single-core (BASELINE.md).  North star here:
+>10 Gpix/s decode per TPU chip on a 2048×2048 u8 stream (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+# Reference single-core throughput measured in this environment (BASELINE.md)
+REFERENCE_DECODE_GPIX_S = 2.6
+REFERENCE_ENCODE_GPIX_S = 2.5
+
+
+def make_content(width: int, height: int, frames: int, kind: str = "camera") -> np.ndarray:
+    """Synthesize benchmark frames.
+
+    ``camera``: smooth illumination + shot-like noise → mixed tile depths
+    (the format's design target: scientific imaging at fixed rate).
+    ``random``: incompressible, all tiles depth 8 (the reference's worst case).
+    ``flat``: all tiles depth 0 (payload-free best case).
+    """
+    rng = np.random.default_rng(0)
+    if kind == "flat":
+        return np.full((frames, height, width), 128, np.uint8)
+    if kind == "random":
+        return rng.integers(0, 256, size=(frames, height, width)).astype(np.uint8)
+    yy, xx = np.mgrid[0:height, 0:width]
+    base = (
+        96
+        + 64 * np.sin(2 * np.pi * xx / width)[None] * np.cos(2 * np.pi * yy / height)[None]
+        + 8 * np.sin(2 * np.pi * np.arange(frames) / max(frames, 1))[:, None, None]
+    )
+    noise = rng.normal(0, 3.0, size=(frames, height, width))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def _time_fn(fn, iters: int) -> float:
+    """Median wall-clock seconds per call (fn must block on completion)."""
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def run_bench(width: int = 2048, height: int = 2048, frames: int = 8,
+              iters: int = 20, content: str = "camera") -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from .codec import DbdeCodec
+
+    codec = DbdeCodec(height=height, width=width)
+    images = jnp.asarray(make_content(width, height, frames, content))
+    npix = frames * height * width
+
+    # -- encode --
+    enc = codec.encode(images)
+    jax.block_until_ready(enc.payload)  # compile + warm
+
+    def do_encode():
+        out = codec._encode(images)
+        jax.block_until_ready(out)
+
+    t_enc = _time_fn(do_encode, iters)
+
+    # -- decode --
+    depths, mins, payload = enc.depths, enc.mins, enc.payload
+    out = codec.decode(depths, mins, payload)
+    jax.block_until_ready(out)
+
+    def do_decode():
+        jax.block_until_ready(codec._decode(depths, mins, payload))
+
+    t_dec = _time_fn(do_decode, iters)
+
+    # integrity inline (never report perf on wrong results)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(images))
+
+    n64 = int(np.asarray(enc.n64).astype(np.int64).sum())
+    encoded_bytes = 12 * frames + 2 * codec.tiles * frames + 8 * n64
+    dec_gpix = npix / t_dec / 1e9
+    enc_gpix = npix / t_enc / 1e9
+    return {
+        "metric": "decode_gpix_per_s",
+        "value": round(dec_gpix, 3),
+        "unit": "Gpix/s",
+        "vs_baseline": round(dec_gpix / REFERENCE_DECODE_GPIX_S, 2),
+        "encode_gpix_per_s": round(enc_gpix, 3),
+        "encode_vs_baseline": round(enc_gpix / REFERENCE_ENCODE_GPIX_S, 2),
+        "geometry": f"{frames}x{height}x{width}",
+        "content": content,
+        "compression_ratio": round(encoded_bytes / npix, 4),
+        "device": str(jax.devices()[0]),
+    }

@@ -1,0 +1,309 @@
+"""Streaming DBDE file reader/writer (the reference's L3 file walker,
+re-designed for batched device codecs).
+
+The reference walks one frame per call through a refillable buffer
+(dbde_file_walker, dbde_util.cpp:362-426).  Here the walker becomes:
+
+  * :class:`DbdeReader` — scans frame records on the host (records are
+    self-delimiting via their ``n64`` field), batches B frames of header
+    arrays, and dispatches one device decode per batch.  The *next* batch is
+    dispatched before the current one is materialized, so host parsing and
+    PCIe transfer overlap device compute (double buffering).
+  * :class:`DbdeWriter` — encodes frame batches on device and assembles
+    records on the host, with the same 1-deep pipeline.
+
+Both fall back to the numpy oracle when ``device=False`` (or JAX is
+unavailable), and both are context managers that actually close/free their
+resources (the reference's walker leaks its buffer — SURVEY §5 quirk 3 —
+which we deliberately fix).
+"""
+
+from __future__ import annotations
+
+import collections
+import io
+import os
+import struct
+from typing import Iterator
+
+import numpy as np
+
+from .format import (
+    FRAME_HEADER_BYTES,
+    VIDEO_HEADER_BYTES,
+    FrameHeader,
+    VideoHeader,
+    max_packed_image_size,
+    tile_grid,
+    unpack_frame_header,
+    unpack_video_header,
+)
+
+__all__ = ["DbdeReader", "DbdeWriter", "read_video", "write_video", "scan_record_size"]
+
+
+def scan_record_size(buf, offset: int, T: int) -> int | None:
+    """Byte size of the frame record (header + data) at ``offset``.
+
+    Validates the three count fields like the reference decoder
+    (dbde_util.cpp:295-303) but *without* touching the payload.  Returns
+    None if the buffer is too short or the record is corrupt.
+    """
+    if len(buf) - offset < FRAME_HEADER_BYTES + 12 + 2 * T:
+        return None
+    (u64s,) = struct.unpack_from("<I", buf, offset)
+    if u64s != 2:
+        return None
+    base = offset + FRAME_HEADER_BYTES
+    (nb,) = struct.unpack_from("<i", buf, base)
+    if nb != T:
+        return None
+    (nm,) = struct.unpack_from("<i", buf, base + 4 + T)
+    if nm != T:
+        return None
+    (n64,) = struct.unpack_from("<i", buf, base + 8 + 2 * T)
+    depths = np.frombuffer(buf, np.uint8, T, base + 4)
+    if n64 != int(depths.astype(np.int64).sum()) or n64 < 0:
+        return None
+    size = FRAME_HEADER_BYTES + 12 + 2 * T + 8 * n64
+    if len(buf) - offset < size:
+        return None
+    return size
+
+
+class DbdeReader:
+    """Batched streaming reader over a ``.dbde`` file.
+
+    >>> with DbdeReader("video.dbde", batch_size=16) as r:
+    ...     for headers, frames in r:   # frames: (b, H, W) u8 numpy
+    ...         ...
+    """
+
+    def __init__(self, path_or_file, batch_size: int = 8, device: bool = True):
+        self._own_file = isinstance(path_or_file, (str, os.PathLike))
+        self._f = open(path_or_file, "rb") if self._own_file else path_or_file
+        self.batch_size = int(batch_size)
+        raw = self._f.read(VIDEO_HEADER_BYTES)
+        if len(raw) < VIDEO_HEADER_BYTES:
+            raise ValueError("file too short for a video header")
+        self.header, _ = unpack_video_header(raw)
+        if not self.header.ok:
+            raise ValueError(f"bad video header (u64s={self.header.u64s})")
+        self.height = int(self.header.height)
+        self.width = int(self.header.width)
+        if not (0 < self.height and 0 < self.width):
+            raise ValueError("bad frame geometry")
+        h, w = tile_grid(self.width, self.height)
+        self.tiles = h * w
+        # worst-case record + slack, times a few frames of lookahead
+        self._chunk = max(1 << 20, (max_packed_image_size(self.width, self.height) + 64) * self.batch_size)
+        self._buf = bytearray()
+        self._pos = 0
+        self._eof = False
+        self.frames_read = 0
+        self._codec = None
+        self._device = device
+        if device:
+            from .codec import DbdeCodec  # deferred: keep host-only use JAX-free
+
+            self._codec = DbdeCodec(height=self.height, width=self.width)
+
+    # -- host record scanning ------------------------------------------------
+
+    def _fill(self) -> None:
+        """Append more file bytes.  Never compacts (record offsets collected
+        by the current batch must stay valid); compaction happens between
+        batches in :meth:`_read_batch_arrays`."""
+        if self._eof:
+            return
+        data = self._f.read(self._chunk)
+        if not data:
+            self._eof = True
+        else:
+            self._buf.extend(data)
+
+    def _next_record(self):
+        """→ (FrameHeader, record_offset) or None at EOF/corruption."""
+        while True:
+            size = scan_record_size(self._buf, self._pos, self.tiles)
+            if size is not None:
+                off = self._pos
+                self._pos += size
+                fh, _ = unpack_frame_header(self._buf, off)
+                return fh, off, size
+            if self._eof:
+                return None
+            self._fill()
+
+    def _read_batch_arrays(self):
+        """Parse up to batch_size records → (headers, depths, mins, payload)."""
+        from .codec import unpack_frames_bytes
+
+        if self._pos > 0:  # compact between batches (offsets below stay valid)
+            del self._buf[: self._pos]
+            self._pos = 0
+        headers, offsets = [], []
+        while len(headers) < self.batch_size:
+            rec = self._next_record()
+            if rec is None:
+                break
+            fh, off, size = rec
+            headers.append(fh)
+            offsets.append(off + FRAME_HEADER_BYTES)
+        if not headers:
+            return None
+        arrays = unpack_frames_bytes(
+            bytes(self._buf), self.width, self.height, offsets
+        )
+        return headers, arrays
+
+    # -- iteration -----------------------------------------------------------
+
+    def __iter__(self) -> Iterator[tuple[list[FrameHeader], np.ndarray]]:
+        if self._device:
+            return self._iter_device()
+        return self._iter_host()
+
+    def _iter_host(self):
+        from . import ref_numpy as ref
+
+        while True:
+            batch = self._read_batch_arrays()
+            if batch is None:
+                return
+            headers, (depths, mins, payload, n64) = batch
+            frames = np.stack(
+                [self._decode_host(depths[i], mins[i], payload[i]) for i in range(len(headers))]
+            )
+            self.frames_read += len(headers)
+            yield headers, frames
+
+    def _decode_host(self, depths, mins, payload):
+        from . import ref_numpy as ref
+
+        windows_offsets = 2 * (np.cumsum(depths.astype(np.int64)) - depths)
+        tiles = np.empty((self.tiles, 64), np.uint8)
+        pay8 = payload.view(np.uint8)
+        for t in range(self.tiles):
+            d = int(depths[t])
+            start = int(windows_offsets[t]) * 4
+            tiles[t] = ref._unpack_tile_payload(pay8[start : start + 8 * d].tobytes(), d, int(mins[t]))
+        return ref.untile_image(tiles, self.width, self.height)
+
+    def _iter_device(self):
+        pending = collections.deque()
+
+        def dispatch():
+            batch = self._read_batch_arrays()
+            if batch is None:
+                return False
+            headers, (depths, mins, payload, n64) = batch
+            frames = self._codec.decode(depths, mins, payload)  # async dispatch
+            pending.append((headers, frames))
+            return True
+
+        dispatch()
+        while pending:
+            dispatch()  # overlap: parse + dispatch next while current computes
+            headers, frames = pending.popleft()
+            self.frames_read += len(headers)
+            yield headers, np.asarray(frames)  # blocks on device completion
+
+    def read_all(self) -> tuple[list[FrameHeader], np.ndarray]:
+        headers, chunks = [], []
+        for hs, frames in self:
+            headers.extend(hs)
+            chunks.append(frames)
+        if not chunks:
+            return [], np.empty((0, self.height, self.width), np.uint8)
+        return headers, np.concatenate(chunks, axis=0)
+
+    def close(self) -> None:
+        if self._own_file and self._f is not None:
+            self._f.close()
+        self._f = None
+        self._buf = bytearray()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class DbdeWriter:
+    """Batched streaming writer producing a ``.dbde`` file."""
+
+    def __init__(self, path_or_file, height: int, width: int, frame_hz: float = 1.0,
+                 device: bool = True, hz_as_integer: bool = False):
+        self._own_file = isinstance(path_or_file, (str, os.PathLike))
+        self._f = open(path_or_file, "wb") if self._own_file else path_or_file
+        self.height, self.width = int(height), int(width)
+        self.header = VideoHeader(height=self.height, width=self.width, frame_hz=frame_hz)
+        self._f.write(self.header.pack(hz_as_integer))
+        self.frames_written = 0
+        self._pending = collections.deque()
+        self._device = device
+        self._codec = None
+        if device:
+            from .codec import DbdeCodec
+
+            self._codec = DbdeCodec(height=self.height, width=self.width)
+
+    def write(self, frames: np.ndarray, indices=None, elapsed_ns=None) -> None:
+        """Queue a (B, H, W) or (H, W) u8 batch for encoding."""
+        frames = np.asarray(frames, dtype=np.uint8)
+        if frames.ndim == 2:
+            frames = frames[None]
+        B = frames.shape[0]
+        if indices is None:
+            indices = range(self.frames_written, self.frames_written + B)
+        indices = [int(i) for i in indices]
+        ns = [int(x) for x in elapsed_ns] if elapsed_ns is not None else [0] * B
+        self.frames_written += B
+        if self._device:
+            enc = self._codec.encode(frames)  # async dispatch
+            self._pending.append((enc, indices, ns))
+            while len(self._pending) > 1:  # 1-deep pipeline
+                self._drain_one()
+        else:
+            from . import ref_numpy as ref
+
+            for b in range(B):
+                self._f.write(ref.pack_frame(indices[b], frames[b], ns[b]))
+
+    def _drain_one(self) -> None:
+        from .codec import pack_frames_bytes
+
+        enc, indices, ns = self._pending.popleft()
+        for rec in pack_frames_bytes(enc, indices=indices, elapsed_ns=ns):
+            self._f.write(rec)
+
+    def close(self) -> None:
+        while self._pending:
+            self._drain_one()
+        if self._own_file and self._f is not None:
+            self._f.close()
+        self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_video(path, frames, frame_hz: float = 1.0, device: bool = True, batch_size: int = 16) -> None:
+    """Encode a (N, H, W) u8 stack to a .dbde file."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    N, H, W = frames.shape
+    with DbdeWriter(path, height=H, width=W, frame_hz=frame_hz, device=device) as wr:
+        for i in range(0, N, batch_size):
+            wr.write(frames[i : i + batch_size])
+
+
+def read_video(path, device: bool = True, batch_size: int = 16):
+    """Decode a whole .dbde file → (VideoHeader, [FrameHeader], (N, H, W) u8)."""
+    with DbdeReader(path, batch_size=batch_size, device=device) as r:
+        headers, frames = r.read_all()
+        return r.header, headers, frames
