@@ -1,0 +1,199 @@
+"""Multi-chip sharding of the DBDE codec over a device mesh.
+
+The reference is single-threaded C++ — there is no distributed design to
+port.  This module is the TPU-native scaling story, designed for ICI:
+
+  * axis ``"data"`` — frame-batch data parallelism (the production mode for
+    camera streams: each chip encodes/decodes its own frames; zero
+    cross-chip traffic in the hot path).
+  * axis ``"tiles"`` — tile (sequence-parallel analogue) sharding of single
+    huge frames: the image is split into horizontal bands of 8-pixel-row
+    tiles.  The only cross-shard coupling in the whole format is the payload
+    offset prefix-sum; it becomes an ``all_gather`` of one scalar per shard
+    (the shard's total word count) over ICI, after which every shard
+    compacts its payload segment independently.
+
+Per-shard payload segments stay sharded (each shard owns a worst-case-sized
+slot); the host assembles the ragged file bytes from (segment, length) pairs.
+This is the standard ragged-allgather pattern — moving the ragged concat to
+the host avoids a device-side all-to-all entirely.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.bitpack import (
+    MAX_WORDS_PER_TILE,
+    pack_tiles_to_words,
+    unpack_words_to_tiles,
+)
+from ..ops.payload import compact_payload, gather_windows, word_offsets
+from ..ops.tiling import pad_and_tile, untile
+
+
+def make_mesh(n_data: int | None = None, n_tiles: int = 1, devices=None) -> Mesh:
+    """Build a ("data", "tiles") mesh from the available devices."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if n_data is None:
+        n_data = len(devices) // n_tiles
+    if n_data * n_tiles > len(devices):
+        raise ValueError(f"mesh {n_data}x{n_tiles} needs more than {len(devices)} devices")
+    dev = np.array(devices[: n_data * n_tiles]).reshape(n_data, n_tiles)
+    return Mesh(dev, axis_names=("data", "tiles"))
+
+
+# ---------------------------------------------------------------------------
+# shard_map bodies (everything below runs per-device on local blocks)
+# ---------------------------------------------------------------------------
+
+
+def _encode_block(images_local: jnp.ndarray):
+    """Per-device encode of a (B_local, H_local, W) band stack.
+
+    H_local must be a multiple of 8 (bands align to tile rows), which
+    :func:`encode_sharded` guarantees by pre-padding.  Returns local depths,
+    mins, a locally-compacted payload segment, and the segment's word count.
+    The global offset of each shard's segment is an exclusive sum over the
+    ``tiles`` axis of segment totals — the format's single serialization,
+    reduced to one tiny ICI collective.
+    """
+    tiles = pad_and_tile(images_local)
+    depth, mn, words = pack_tiles_to_words(tiles)
+    offsets, total = word_offsets(depth)
+    payload = compact_payload(words, offsets, total)
+    # exclusive prefix over the tiles axis: word base of this shard's segment
+    totals = jax.lax.all_gather(total, "tiles")  # (n_tiles, B_local)
+    my = jax.lax.axis_index("tiles")
+    mask = (jnp.arange(totals.shape[0]) < my)[:, None]
+    base = jnp.sum(totals * mask, axis=0)
+    return depth.astype(jnp.uint8), mn, payload, total[None, :], base[None, :]
+
+
+def _decode_block(depths_local, mins_local, segment_local, H_local: int, W: int):
+    """Per-device decode of a band's payload segment back to pixels."""
+    offsets, _ = word_offsets(depths_local.astype(jnp.int32))
+    windows = gather_windows(segment_local, offsets)
+    tiles = unpack_words_to_tiles(depths_local.astype(jnp.int32), mins_local, windows)
+    return untile(tiles, H_local, W)
+
+
+# ---------------------------------------------------------------------------
+# public sharded API
+# ---------------------------------------------------------------------------
+
+
+def _pad_to_bands(images: np.ndarray, n_tiles: int):
+    """Edge-pad H so each of the ``n_tiles`` bands is a multiple of 8 rows."""
+    B, H, W = images.shape
+    unit = 8 * n_tiles
+    Hp = -(-H // unit) * unit
+    if Hp != H:
+        images = np.concatenate(
+            [images, np.repeat(images[:, -1:, :], Hp - H, axis=1)], axis=1
+        )
+    return images, Hp
+
+
+def encode_sharded(images, mesh: Mesh):
+    """(B, H, W) u8 frames → sharded encoded arrays.
+
+    ``B`` is sharded over ``data``; tile rows are sharded into ``tiles``
+    bands.  Requires ``ceil(H/8) % n_tiles == 0`` (equal 8-row-aligned bands)
+    so the output is bit-identical to the single-chip encoding — band-major
+    tile order == global row-major tile order.
+
+    Returns (depths (B,T) u8, mins (B,T) u8, payload (B, n_tiles*16*T_local)
+    u32 per-shard worst-case segments, totals (n_tiles, B) i32 segment word
+    counts, bases (n_tiles, B) i32 global word offsets).
+    """
+    images = np.asarray(images, dtype=np.uint8)
+    B, H, W = images.shape
+    n_tiles = mesh.shape["tiles"]
+    h = -(-H // 8)
+    if h % n_tiles != 0:
+        raise ValueError(
+            f"tile rows ({h}) must divide evenly into {n_tiles} bands for "
+            "bit-exact sharded encode; pick n_tiles dividing ceil(H/8)"
+        )
+    images, Hp = _pad_to_bands(images, n_tiles)
+
+    fn = jax.shard_map(
+        _encode_block,
+        mesh=mesh,
+        in_specs=P("data", "tiles", None),
+        out_specs=(
+            P("data", "tiles"),  # depths: T dim band-sharded
+            P("data", "tiles"),  # mins
+            P("data", "tiles"),  # payload segments, concatenated band-major
+            P("tiles", "data"),  # totals per shard
+            P("tiles", "data"),  # bases per shard
+        ),
+    )
+    depth, mn, payload, totals, bases = jax.jit(fn)(images)
+    return depth, mn, payload, totals, bases, Hp
+
+
+def decode_sharded(depths, mins, segments, mesh: Mesh, H: int, W: int, Hp: int):
+    """Inverse of :func:`encode_sharded`; crops back to (B, H, W)."""
+    n_tiles = mesh.shape["tiles"]
+    H_local = Hp // n_tiles
+
+    fn = jax.shard_map(
+        partial(_decode_block, H_local=H_local, W=W),
+        mesh=mesh,
+        in_specs=(P("data", "tiles"), P("data", "tiles"), P("data", "tiles")),
+        out_specs=P("data", "tiles", None),
+    )
+    out = jax.jit(fn)(depths, mins, segments)
+    return out[:, :H, :W]
+
+
+def sharded_roundtrip_step(images, mesh: Mesh):
+    """One full sharded encode→decode step (the framework's "training step"
+    analogue): dp over frames + sp over tile bands, compiled as one program."""
+    images = np.asarray(images, dtype=np.uint8)
+    B, H, W = images.shape
+    n_tiles = mesh.shape["tiles"]
+    padded, Hp = _pad_to_bands(images, n_tiles)
+    H_local = Hp // n_tiles
+
+    def step(x):
+        def body(x_local):
+            depth, mn, payload, total, base = _encode_block(x_local)
+            out = _decode_block(depth, mn, payload, H_local, W)
+            # global n64 via cross-mesh reduction (exercises ICI psum)
+            n64 = jax.lax.psum(jnp.sum(total), ("data", "tiles")) // 2
+            return out, n64
+
+        fn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=P("data", "tiles", None),
+            out_specs=(P("data", "tiles", None), P()),
+        )
+        out, n64 = fn(x)
+        return out[:, :H, :W], n64
+
+    return jax.jit(step)(padded)
+
+
+def assemble_payload_host(segments, totals) -> list[np.ndarray]:
+    """Per-frame flat u32 payloads from sharded segments (host ragged concat).
+
+    segments: (B, n_tiles*16*T_local) u32; totals: (n_tiles, B) i32.
+    """
+    totals = np.asarray(totals)
+    n_tiles = totals.shape[0]
+    segments = np.asarray(segments)
+    B = segments.shape[0]
+    segments = segments.reshape(B, n_tiles, -1)
+    return [
+        np.concatenate([segments[b, s, : totals[s, b]] for s in range(n_tiles)])
+        for b in range(B)
+    ]

@@ -7,7 +7,12 @@ first ``import jax`` anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may preset a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin ignores the env var; force the platform via config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

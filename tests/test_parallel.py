@@ -1,0 +1,87 @@
+"""Multi-chip sharding tests on a virtual 8-device CPU mesh (conftest.py)."""
+
+import numpy as np
+import pytest
+import jax
+
+from dbde_tpu import ref_numpy as ref
+from dbde_tpu.parallel import (
+    decode_sharded,
+    encode_sharded,
+    make_mesh,
+    sharded_roundtrip_step,
+)
+from dbde_tpu.parallel.sharding import assemble_payload_host
+
+
+def _frames(B=4, H=48, W=40, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 32, size=(B, H, W)) + 50).astype(np.uint8)
+
+
+def test_mesh_construction():
+    mesh = make_mesh(n_data=4, n_tiles=2)
+    assert mesh.shape == {"data": 4, "tiles": 2}
+    mesh = make_mesh(n_tiles=2)
+    assert mesh.shape["data"] * 2 <= 8 + 2
+
+
+@pytest.mark.parametrize("n_data,n_tiles", [(2, 1), (1, 2), (4, 2), (2, 3)])
+def test_sharded_encode_matches_oracle(n_data, n_tiles):
+    mesh = make_mesh(n_data=n_data, n_tiles=n_tiles)
+    frames = _frames(B=n_data * 2, H=8 * 6, W=21)  # h=6 divides 1,2,3
+    depth, mn, payload, totals, bases, Hp = encode_sharded(frames, mesh)
+    payloads = assemble_payload_host(payload, totals)
+
+    for b in range(frames.shape[0]):
+        expected = ref.pack_image(frames[b])
+        T = 6 * 3  # h=6, w=ceil(21/8)=3
+        exp_depths = np.frombuffer(expected, np.uint8, T, 4)
+        exp_mins = np.frombuffer(expected, np.uint8, T, 8 + T)
+        exp_payload = np.frombuffer(expected, np.uint32, offset=12 + 2 * T)
+        np.testing.assert_array_equal(np.asarray(depth)[b], exp_depths)
+        np.testing.assert_array_equal(np.asarray(mn)[b], exp_mins)
+        np.testing.assert_array_equal(payloads[b], exp_payload)
+
+
+def test_sharded_encode_rejects_uneven_bands():
+    mesh = make_mesh(n_data=2, n_tiles=4)
+    with pytest.raises(ValueError):
+        encode_sharded(_frames(B=2, H=8 * 6, W=16), mesh)  # 6 tiles % 4 != 0
+
+
+@pytest.mark.parametrize("n_data,n_tiles", [(2, 2), (1, 4)])
+def test_sharded_decode_roundtrip(n_data, n_tiles):
+    mesh = make_mesh(n_data=n_data, n_tiles=n_tiles)
+    frames = _frames(B=n_data * 3, H=8 * 4, W=30, seed=3)
+    depth, mn, payload, totals, bases, Hp = encode_sharded(frames, mesh)
+    out = decode_sharded(depth, mn, payload, mesh, H=frames.shape[1], W=30, Hp=Hp)
+    np.testing.assert_array_equal(np.asarray(out), frames)
+
+
+def test_sharded_roundtrip_step_ragged():
+    """The fused dp+sp step handles ragged H via internal band padding."""
+    mesh = make_mesh(n_data=2, n_tiles=2)
+    frames = _frames(B=4, H=37, W=29, seed=9)  # ragged both dims
+    out, n64 = sharded_roundtrip_step(frames, mesh)
+    np.testing.assert_array_equal(np.asarray(out), frames)
+    assert int(n64) > 0
+
+
+def test_sharded_matches_global_n64():
+    mesh = make_mesh(n_data=1, n_tiles=2)
+    frames = _frames(B=2, H=32, W=32, seed=4)
+    depth, mn, payload, totals, bases, Hp = encode_sharded(frames, mesh)
+    # totals sum = 2 * n64 per frame
+    exp = [ref.pack_image(f) for f in frames]
+    import struct
+
+    for b, e in enumerate(exp):
+        T = 4 * 4
+        (n64,) = struct.unpack_from("<i", e, 8 + 2 * T)
+        assert int(np.asarray(totals)[:, b].sum()) == 2 * n64
+        # bases are the exclusive scan of totals
+        np.testing.assert_array_equal(
+            np.asarray(bases)[:, b],
+            np.concatenate([[0], np.cumsum(np.asarray(totals)[:-1, b])]),
+        )
