@@ -29,6 +29,15 @@ from .ops.payload import compact_payload, gather_windows, word_offsets
 from .ops.tiling import pad_and_tile, untile
 
 
+def default_backend() -> str:
+    """"pallas" on TPU (XLA serializes the codec's data-dependent gathers
+    there — ~1000x off); "xla" elsewhere (CPU/GPU gathers are fine)."""
+    try:
+        return "pallas" if jax.default_backend().startswith(("tpu", "axon")) else "xla"
+    except Exception:
+        return "xla"
+
+
 @dataclass
 class EncodedBatch:
     """Device-side encoded frames: one row per frame in the batch."""
@@ -54,6 +63,46 @@ def _decode_fn(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray, H: 
     return untile(tiles, H, W)
 
 
+# -- Pallas-kernel backend (TPU): same contract, fused vector kernels --------
+
+
+def _encode_fn_pallas(images: jnp.ndarray):
+    from .ops import pallas_kernels as pk
+
+    B, H, W = images.shape
+    h, w = tile_grid(W, H)
+    T = h * w
+    tp = pk.pad_tiles(T)
+    tiles = pad_and_tile(images)  # (B, T, 64)
+    tiles_t = jnp.swapaxes(tiles, -1, -2)  # (B, 64, T) pixel-major
+    if tp != T:
+        tiles_t = jnp.pad(tiles_t, ((0, 0), (0, 0), (0, tp - T)))
+    d3, m3, payload = pk.encode_tiles_kernel(tiles_t)
+    depths = d3.reshape(B, tp)[:, :T]
+    mins = m3.reshape(B, tp)[:, :T]
+    n64 = jnp.sum(depths.astype(jnp.int32), axis=-1)
+    flat = payload.reshape(B, -1)[:, : T * MAX_WORDS_PER_TILE]
+    return depths, mins, flat, n64
+
+
+def _decode_fn_pallas(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray, H: int, W: int):
+    from .ops import pallas_kernels as pk
+
+    B, T = depths.shape
+    tp = pk.pad_tiles(T)
+    rows = pk.payload_rows(tp)
+    d = depths if tp == T else jnp.pad(depths, ((0, 0), (0, tp - T)))
+    m = mins if tp == T else jnp.pad(mins, ((0, 0), (0, tp - T)))
+    p = jnp.pad(payload, ((0, 0), (0, rows * pk.LANES - payload.shape[1])))
+    tiles_t = pk.decode_tiles_kernel(
+        d.reshape(B, tp // pk.LANES, pk.LANES),
+        m.reshape(B, tp // pk.LANES, pk.LANES),
+        p.reshape(B, rows, pk.LANES),
+    )
+    tiles = jnp.swapaxes(tiles_t[:, :, :T], -1, -2)
+    return untile(tiles, H, W)
+
+
 class DbdeCodec:
     """Compiled DBDE codec for a fixed frame geometry.
 
@@ -62,14 +111,22 @@ class DbdeCodec:
     >>> out = codec.decode(enc.depths, enc.mins, enc.payload)
     """
 
-    def __init__(self, height: int, width: int):
+    def __init__(self, height: int, width: int, backend: str = "auto"):
         self.height = int(height)
         self.width = int(width)
         h, w = tile_grid(self.width, self.height)
         self.tiles = h * w
         self.max_payload_words = self.tiles * MAX_WORDS_PER_TILE
-        self._encode = jax.jit(_encode_fn)
-        self._decode = jax.jit(partial(_decode_fn, H=self.height, W=self.width))
+        if backend == "auto":
+            backend = default_backend()
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        enc = _encode_fn_pallas if backend == "pallas" else _encode_fn
+        dec = _decode_fn_pallas if backend == "pallas" else _decode_fn
+        self._encode_impl, self._decode_impl = enc, dec
+        self._encode = jax.jit(enc)
+        self._decode = jax.jit(partial(dec, H=self.height, W=self.width))
         self._roundtrip = jax.jit(self._roundtrip_fn)
 
     def _check(self, images) -> jnp.ndarray:
@@ -98,8 +155,8 @@ class DbdeCodec:
         )
 
     def _roundtrip_fn(self, images):
-        depths, mins, payload, n64 = _encode_fn(images)
-        out = _decode_fn(depths, mins, payload, self.height, self.width)
+        depths, mins, payload, n64 = self._encode_impl(images)
+        out = self._decode_impl(depths, mins, payload, self.height, self.width)
         return out, n64
 
     def roundtrip(self, images):

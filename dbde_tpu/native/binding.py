@@ -1,0 +1,176 @@
+"""ctypes binding for the native IO library, compiled on demand.
+
+The shared object is built from ``dbde_io.cpp`` with g++ -O3 on first use and
+cached next to this file (falling back to a temp dir if the package is not
+writable).  Everything degrades gracefully: if no compiler is available the
+callers fall back to the pure-numpy paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "dbde_io.cpp")
+
+
+def _build_dir() -> str:
+    d = os.path.dirname(__file__)
+    if os.access(d, os.W_OK):
+        return d
+    return tempfile.gettempdir()
+
+
+def _so_path() -> str:
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_build_dir(), f"libdbde_io_{tag}.so")
+
+
+def _compile() -> str | None:
+    so = _so_path()
+    if os.path.exists(so):
+        return so
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        "-pthread", _SRC, "-o", so + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(so + ".tmp", so)
+        return so
+    except (subprocess.SubprocessError, OSError, FileNotFoundError):
+        return None
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        so = _compile()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        L = ctypes.c_long
+        P8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.dbde_record_size.restype = L
+        lib.dbde_record_size.argtypes = [P8, L, L, L]
+        lib.dbde_scan_records.restype = L
+        lib.dbde_scan_records.argtypes = [
+            P8, L, L, L, L,
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ]
+        lib.dbde_gather_fields.restype = L
+        lib.dbde_gather_fields.argtypes = [
+            P8, L, ctypes.POINTER(ctypes.c_long), L, L,
+            P8, P8, ctypes.POINTER(ctypes.c_uint32), L,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
+        lib.dbde_assemble_records.restype = L
+        lib.dbde_assemble_records.argtypes = [
+            P8, P8, ctypes.POINTER(ctypes.c_uint32), L,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_double), L, L, P8, L, ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def _p(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def _buf_ptr(buf):
+    """Zero-copy (pointer, length) for bytes/bytearray/memoryview."""
+    arr = np.frombuffer(buf, np.uint8)
+    return _p(arr, ctypes.c_uint8), arr.size, arr  # keep arr alive
+
+
+def record_size(buf, offset: int, tiles: int) -> int:
+    """Size of the validated record at ``offset`` (0 = corrupt/truncated)."""
+    lib = get_lib()
+    ptr, n_buf, _keep = _buf_ptr(buf)
+    return lib.dbde_record_size(ptr, n_buf, offset, tiles)
+
+
+def scan_records(buf: bytes, start: int, tiles: int, max_records: int):
+    """→ (offsets list, sizes list) of validated sequential records."""
+    lib = get_lib()
+    ptr, n_buf, _keep = _buf_ptr(buf)
+    offs = np.zeros(max_records, np.int64)
+    sizes = np.zeros(max_records, np.int64)
+    n = lib.dbde_scan_records(
+        ptr, n_buf, start, tiles, max_records,
+        _p(offs, ctypes.c_long), _p(sizes, ctypes.c_long),
+    )
+    return offs[:n].tolist(), sizes[:n].tolist()
+
+
+def gather_fields(buf: bytes, data_offsets, tiles: int, payload_stride_words: int, threads: int = 4):
+    """Batched parse of frame-data records → fixed-stride arrays.
+
+    Returns (depths (B,T) u8, mins (B,T) u8, payload (B,S) u32, n64 (B,) i32).
+    Raises ValueError on the first corrupt record (error parity with
+    dbde_util.cpp:295-303).
+    """
+    lib = get_lib()
+    B = len(data_offsets)
+    ptr, n_buf, _keep = _buf_ptr(buf)
+    offs = np.asarray(data_offsets, np.int64)
+    depths = np.empty((B, tiles), np.uint8)
+    mins = np.empty((B, tiles), np.uint8)
+    payload = np.empty((B, payload_stride_words), np.uint32)
+    n64s = np.empty((B,), np.int32)
+    bad = lib.dbde_gather_fields(
+        ptr, n_buf, _p(offs, ctypes.c_long), B, tiles,
+        _p(depths, ctypes.c_uint8), _p(mins, ctypes.c_uint8),
+        _p(payload, ctypes.c_uint32), payload_stride_words,
+        _p(n64s, ctypes.c_int32), threads,
+    )
+    if bad:
+        raise ValueError(f"frame {bad - 1}: corrupt record")
+    return depths, mins, payload, n64s
+
+
+def assemble_records(depths, mins, payload, n64s, indices, elapsed_ns, threads: int = 4) -> bytes:
+    """Batched serialize of (header + frame data) records → contiguous bytes."""
+    lib = get_lib()
+    depths = np.ascontiguousarray(depths, np.uint8)
+    mins = np.ascontiguousarray(mins, np.uint8)
+    payload = np.ascontiguousarray(payload, np.uint32)
+    n64s = np.ascontiguousarray(n64s, np.int32)
+    B, T = depths.shape
+    idx = np.ascontiguousarray(indices, np.uint64)
+    ela = np.asarray([float(e) for e in elapsed_ns], np.float64)  # f64 quirk
+    cap = int(32 * B + 2 * T * B + 8 * n64s.astype(np.int64).sum())
+    out = np.empty(cap, np.uint8)
+    n = lib.dbde_assemble_records(
+        _p(depths, ctypes.c_uint8), _p(mins, ctypes.c_uint8),
+        _p(payload, ctypes.c_uint32), payload.shape[1],
+        _p(n64s, ctypes.c_int32), _p(idx, ctypes.c_uint64),
+        _p(ela, ctypes.c_double), B, T,
+        _p(out, ctypes.c_uint8), cap, threads,
+    )
+    if n < 0:
+        raise ValueError("output capacity miscalculated")
+    return out[:n].tobytes()

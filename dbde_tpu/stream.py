@@ -79,10 +79,16 @@ class DbdeReader:
     ...         ...
     """
 
-    def __init__(self, path_or_file, batch_size: int = 8, device: bool = True):
+    def __init__(self, path_or_file, batch_size: int = 8, device: bool = True,
+                 use_native: bool = True):
         self._own_file = isinstance(path_or_file, (str, os.PathLike))
         self._f = open(path_or_file, "rb") if self._own_file else path_or_file
         self.batch_size = int(batch_size)
+        self._native = None
+        if use_native:
+            from .native import binding as _nb
+
+            self._native = _nb if _nb.native_available() else None
         raw = self._f.read(VIDEO_HEADER_BYTES)
         if len(raw) < VIDEO_HEADER_BYTES:
             raise ValueError("file too short for a video header")
@@ -125,7 +131,10 @@ class DbdeReader:
     def _next_record(self):
         """→ (FrameHeader, record_offset) or None at EOF/corruption."""
         while True:
-            size = scan_record_size(self._buf, self._pos, self.tiles)
+            if self._native is not None:
+                size = self._native.record_size(self._buf, self._pos, self.tiles) or None
+            else:
+                size = scan_record_size(self._buf, self._pos, self.tiles)
             if size is not None:
                 off = self._pos
                 self._pos += size
@@ -136,7 +145,11 @@ class DbdeReader:
             self._fill()
 
     def _read_batch_arrays(self):
-        """Parse up to batch_size records → (headers, depths, mins, payload)."""
+        """Parse up to batch_size records → (headers, depths, mins, payload).
+
+        Uses the native C++ scanner/parser when available (zero-copy over the
+        read buffer, multithreaded memcpy); numpy fallback otherwise.
+        """
         from .codec import unpack_frames_bytes
 
         if self._pos > 0:  # compact between batches (offsets below stay valid)
@@ -152,9 +165,14 @@ class DbdeReader:
             offsets.append(off + FRAME_HEADER_BYTES)
         if not headers:
             return None
-        arrays = unpack_frames_bytes(
-            bytes(self._buf), self.width, self.height, offsets
-        )
+        if self._native is not None:
+            arrays = self._native.gather_fields(
+                self._buf, offsets, self.tiles, 16 * self.tiles
+            )
+        else:
+            arrays = unpack_frames_bytes(
+                bytes(self._buf), self.width, self.height, offsets
+            )
         return headers, arrays
 
     # -- iteration -----------------------------------------------------------
@@ -235,9 +253,14 @@ class DbdeWriter:
     """Batched streaming writer producing a ``.dbde`` file."""
 
     def __init__(self, path_or_file, height: int, width: int, frame_hz: float = 1.0,
-                 device: bool = True, hz_as_integer: bool = False):
+                 device: bool = True, hz_as_integer: bool = False, use_native: bool = True):
         self._own_file = isinstance(path_or_file, (str, os.PathLike))
         self._f = open(path_or_file, "wb") if self._own_file else path_or_file
+        self._native = None
+        if use_native:
+            from .native import binding as _nb
+
+            self._native = _nb if _nb.native_available() else None
         self.height, self.width = int(height), int(width)
         self.header = VideoHeader(height=self.height, width=self.width, frame_hz=frame_hz)
         self._f.write(self.header.pack(hz_as_integer))
@@ -276,8 +299,17 @@ class DbdeWriter:
         from .codec import pack_frames_bytes
 
         enc, indices, ns = self._pending.popleft()
-        for rec in pack_frames_bytes(enc, indices=indices, elapsed_ns=ns):
-            self._f.write(rec)
+        if self._native is not None:
+            self._f.write(
+                self._native.assemble_records(
+                    np.asarray(enc.depths), np.asarray(enc.mins),
+                    np.asarray(enc.payload), np.asarray(enc.n64),
+                    indices=indices, elapsed_ns=ns,
+                )
+            )
+        else:
+            for rec in pack_frames_bytes(enc, indices=indices, elapsed_ns=ns):
+                self._f.write(rec)
 
     def close(self) -> None:
         while self._pending:
