@@ -31,7 +31,13 @@ from .ops.tiling import pad_and_tile, untile
 
 def default_backend() -> str:
     """"pallas" on TPU (XLA serializes the codec's data-dependent gathers
-    there — ~1000x off); "xla" elsewhere (CPU/GPU gathers are fine)."""
+    there — ~1000x off); "xla" elsewhere (CPU/GPU gathers are fine).
+    Override with DBDE_TPU_BACKEND=xla|pallas."""
+    import os
+
+    env = os.environ.get("DBDE_TPU_BACKEND")
+    if env in ("xla", "pallas"):
+        return env
     try:
         return "pallas" if jax.default_backend().startswith(("tpu", "axon")) else "xla"
     except Exception:

@@ -1,0 +1,95 @@
+"""Pallas kernel parity vs the numpy oracle, run in interpreter mode on CPU.
+
+The compiled kernels are exercised on real TPU hardware by the benchmark and
+the verify flow; here we pin their *semantics* (bit-exact payload streams)
+against the oracle for every depth and for ragged/multi-block shapes.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from dbde_tpu import ref_numpy as ref
+from dbde_tpu.format import tile_grid
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+
+def _modules():
+    import dbde_tpu.ops.pallas_kernels as stable
+    import dbde_tpu.ops.pallas_kernels_x as experimental
+
+    return {"stable": stable, "experimental": experimental}
+
+
+def roundtrip_check(pk, frames):
+    B, H, W = frames.shape
+    h, w = tile_grid(W, H)
+    T = h * w
+    tp = pk.pad_tiles(T)
+    tiles = np.stack([ref.tile_image(f) for f in frames])
+    tiles_t = np.zeros((B, 64, tp), np.uint8)
+    tiles_t[:, :, :T] = tiles.transpose(0, 2, 1)
+
+    d, m, p = pk.encode_tiles_kernel(jnp.asarray(tiles_t))
+    d = np.asarray(d).reshape(B, -1)
+    m = np.asarray(m).reshape(B, -1)
+    p = np.asarray(p)
+    for b in range(B):
+        exp = ref.pack_image(frames[b])
+        np.testing.assert_array_equal(d[b, :T], np.frombuffer(exp, np.uint8, T, 4))
+        np.testing.assert_array_equal(m[b, :T], np.frombuffer(exp, np.uint8, T, 8 + T))
+        exp_p = np.frombuffer(exp, np.uint32, offset=12 + 2 * T)
+        np.testing.assert_array_equal(p[b].reshape(-1)[: len(exp_p)], exp_p)
+
+    tt = pk.decode_tiles_kernel(
+        jnp.asarray(d.reshape(B, -1, 128)),
+        jnp.asarray(m.reshape(B, -1, 128)),
+        jnp.asarray(p),
+    )
+    tt = np.asarray(tt)
+    for b in range(B):
+        np.testing.assert_array_equal(ref.untile_image(tt[b, :, :T].T, W, H), frames[b])
+
+
+@pytest.mark.parametrize("variant", ["stable", "experimental"])
+def test_kernel_parity_mixed_depths(variant):
+    pk = _modules()[variant]
+    rng = np.random.default_rng(0)
+    frames = (rng.integers(0, 256, (2, 40, 48)) & rng.integers(0, 256, (2, 40, 48))).astype(np.uint8)
+    roundtrip_check(pk, frames)
+
+
+@pytest.mark.parametrize("variant", ["stable", "experimental"])
+def test_kernel_parity_uniform_depths(variant):
+    """Every depth 0..8, including flat tiles and full-range tiles."""
+    pk = _modules()[variant]
+    rng = np.random.default_rng(1)
+    img = np.zeros((24, 192), np.uint8)  # 3x24 tiles: one 8-col band per depth
+    for d in range(9):
+        span = (1 << d) - 1
+        col = d * 21
+        band = 50 + rng.integers(0, span + 1, size=(24, 21))
+        img[:, col : col + 21] = band
+    roundtrip_check(pk, img[None])
+
+
+@pytest.mark.parametrize("variant", ["stable", "experimental"])
+def test_kernel_parity_multiblock(variant):
+    """More than TILES_BLOCK tiles → exercises the cross-block cursor/carry."""
+    pk = _modules()[variant]
+    rng = np.random.default_rng(2)
+    # 96x800 -> 12x100 = 1200 tiles > 1024
+    frames = (rng.integers(0, 64, (1, 96, 800)) + 10).astype(np.uint8)
+    roundtrip_check(pk, frames)
