@@ -1,10 +1,16 @@
 """Device codec throughput benchmark (the reference's rdtsc harness,
-re-done as wall-clock Gpix/s on the accelerator).
+re-done as measured device time in Gpix/s on the accelerator).
 
 Reference harness: one 2536×2048 random frame, rdtsc cycles → fps at an
 assumed 3.33 GHz (dbde_util_test.cpp:303-364).  Measured there: encode
 ≈2.5 Gpix/s, decode ≈2.6 Gpix/s single-core (BASELINE.md).  North star here:
 >10 Gpix/s decode per TPU chip on a 2048×2048 u8 stream (BASELINE.json).
+
+Timing methodology: wall-clock timing on this platform is treacherous
+(async dispatch, duplicate-execution elision, RPC jitter), so throughput is
+taken from the JAX profiler's device timeline (utils/profiling.py).  When no
+device trace is available (CPU backend), falls back to wall clock around
+fully-materialized executions.
 """
 
 from __future__ import annotations
@@ -41,18 +47,27 @@ def make_content(width: int, height: int, frames: int, kind: str = "camera") -> 
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
-def _time_fn(fn, iters: int) -> float:
-    """Median wall-clock seconds per call (fn must block on completion)."""
+def _measure(fn, *args, reps: int = 4) -> float:
+    """Seconds per execution: device-trace time on TPU, wall clock fallback."""
+    import jax
+
+    from .utils.profiling import measure_device_seconds
+
+    dt = measure_device_seconds(fn, *args, reps=reps)
+    if dt is not None:
+        return dt
+    # CPU fallback: wall clock with full materialization
+    out = jax.block_until_ready(fn(*args))
     times = []
-    for _ in range(iters):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        fn()
+        jax.block_until_ready(fn(*args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
 
 def run_bench(width: int = 2048, height: int = 2048, frames: int = 8,
-              iters: int = 20, content: str = "camera") -> dict:
+              iters: int = 4, content: str = "camera") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -62,25 +77,14 @@ def run_bench(width: int = 2048, height: int = 2048, frames: int = 8,
     images = jnp.asarray(make_content(width, height, frames, content))
     npix = frames * height * width
 
-    # -- encode --
     enc = codec.encode(images)
-    jax.block_until_ready(enc.payload)  # compile + warm
+    jax.block_until_ready(enc.payload)
+    t_enc = _measure(codec._encode, images, reps=iters)
 
-    def do_encode():
-        out = codec._encode(images)
-        jax.block_until_ready(out)
-
-    t_enc = _time_fn(do_encode, iters)
-
-    # -- decode --
     depths, mins, payload = enc.depths, enc.mins, enc.payload
     out = codec.decode(depths, mins, payload)
     jax.block_until_ready(out)
-
-    def do_decode():
-        jax.block_until_ready(codec._decode(depths, mins, payload))
-
-    t_dec = _time_fn(do_decode, iters)
+    t_dec = _measure(codec._decode, depths, mins, payload, reps=iters)
 
     # integrity inline (never report perf on wrong results)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(images))
@@ -98,6 +102,7 @@ def run_bench(width: int = 2048, height: int = 2048, frames: int = 8,
         "encode_vs_baseline": round(enc_gpix / REFERENCE_ENCODE_GPIX_S, 2),
         "geometry": f"{frames}x{height}x{width}",
         "content": content,
+        "backend": codec.backend,
         "compression_ratio": round(encoded_bytes / npix, 4),
         "device": str(jax.devices()[0]),
     }
