@@ -74,20 +74,22 @@ def run_bench(width: int = 2048, height: int = 2048, frames: int = 8,
     from .codec import DbdeCodec
 
     codec = DbdeCodec(height=height, width=width)
-    images = jnp.asarray(make_content(width, height, frames, content))
+    images_np = make_content(width, height, frames, content)
+    images = jnp.asarray(images_np)
     npix = frames * height * width
 
-    enc = codec.encode(images)
+    enc = codec.encode(images_np)
     jax.block_until_ready(enc.payload)
-    t_enc = _measure(codec._encode, images, reps=iters)
+    # measure the jitted device program with its actual input layout
+    enc_input = codec._to_img32(images_np) if codec.backend == "band" else images
+    t_enc = _measure(codec._encode, enc_input, reps=iters)
 
     depths, mins, payload = enc.depths, enc.mins, enc.payload
     out = codec.decode(depths, mins, payload)
-    jax.block_until_ready(out)
     t_dec = _measure(codec._decode, depths, mins, payload, reps=iters)
 
     # integrity inline (never report perf on wrong results)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(images))
+    np.testing.assert_array_equal(np.asarray(out), images_np)
 
     n64 = int(np.asarray(enc.n64).astype(np.int64).sum())
     encoded_bytes = 12 * frames + 2 * codec.tiles * frames + 8 * n64

@@ -69,6 +69,44 @@ def _decode_fn(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray, H: 
     return untile(tiles, H, W)
 
 
+# -- band backend (TPU, W % 1024 == 0): kernels read/write image memory -----
+
+
+def _encode_fn_band(img32: jnp.ndarray, T: int):
+    """img32 (B, Hp, W//4) u32 (row-padded) → standard encode outputs."""
+    from .ops import pallas_band as pb
+
+    B = img32.shape[0]
+    d3, m3, payload = pb.encode_band_kernel(img32)
+    tp = d3.shape[1] * pb.LANES
+    depths = d3.reshape(B, tp)[:, :T]
+    mins = m3.reshape(B, tp)[:, :T]
+    n64 = jnp.sum(depths.astype(jnp.int32), axis=-1)
+    flat = payload.reshape(B, -1)[:, : T * MAX_WORDS_PER_TILE]
+    return depths, mins, flat, n64
+
+
+def _decode_fn_band(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray,
+                    H: int, W: int):
+    """→ img32 (B, Hp, W//4) u32 (caller slices rows / reinterprets bytes)."""
+    from .ops import pallas_band as pb
+
+    B, T = depths.shape
+    wp = W // 8
+    hp8 = pb.pad_rows(H, W)
+    tp = (hp8 // 8) * wp
+    rows = pb.payload_rows(tp)
+    d = jnp.pad(depths, ((0, 0), (0, tp - T)))
+    m = jnp.pad(mins, ((0, 0), (0, tp - T)))
+    p = jnp.pad(payload, ((0, 0), (0, rows * pb.LANES - payload.shape[1])))
+    return pb.decode_band_kernel(
+        d.reshape(B, tp // pb.LANES, pb.LANES),
+        m.reshape(B, tp // pb.LANES, pb.LANES),
+        p.reshape(B, rows, pb.LANES),
+        W,
+    )
+
+
 # -- Pallas-kernel backend (TPU): same contract, fused vector kernels --------
 
 
@@ -125,15 +163,25 @@ class DbdeCodec:
         self.max_payload_words = self.tiles * MAX_WORDS_PER_TILE
         if backend == "auto":
             backend = default_backend()
-        if backend not in ("xla", "pallas"):
+        if backend == "pallas":
+            from .ops import pallas_band as pb
+
+            if pb.band_supported(self.width):
+                backend = "band"  # image-layout kernels: fastest path
+        if backend not in ("xla", "pallas", "band"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
-        enc = _encode_fn_pallas if backend == "pallas" else _encode_fn
-        dec = _decode_fn_pallas if backend == "pallas" else _decode_fn
-        self._encode_impl, self._decode_impl = enc, dec
-        self._encode = jax.jit(enc)
-        self._decode = jax.jit(partial(dec, H=self.height, W=self.width))
-        self._roundtrip = jax.jit(self._roundtrip_fn)
+        if backend == "band":
+            self._encode = jax.jit(partial(_encode_fn_band, T=self.tiles))
+            self._decode = jax.jit(partial(_decode_fn_band, H=self.height, W=self.width))
+            self._roundtrip = jax.jit(self._roundtrip_band)
+        else:
+            enc = _encode_fn_pallas if backend == "pallas" else _encode_fn
+            dec = _decode_fn_pallas if backend == "pallas" else _decode_fn
+            self._encode_impl, self._decode_impl = enc, dec
+            self._encode = jax.jit(enc)
+            self._decode = jax.jit(partial(dec, H=self.height, W=self.width))
+            self._roundtrip = jax.jit(self._roundtrip_fn)
 
     def _check(self, images) -> jnp.ndarray:
         images = jnp.asarray(images, dtype=jnp.uint8)
@@ -146,27 +194,70 @@ class DbdeCodec:
             )
         return images, single
 
+    def _to_img32(self, images):
+        """(B, H, W) u8 → row-padded (B, Hp, W//4) u32 for the band kernels.
+
+        numpy inputs reinterpret for free on the host; device arrays pay one
+        XLA pad + bitcast.
+        """
+        from .ops import pallas_band as pb
+
+        hp8 = pb.pad_rows(self.height, self.width)
+        if isinstance(images, np.ndarray):
+            images = np.ascontiguousarray(images)
+            if hp8 != self.height:
+                pad = np.zeros((images.shape[0], hp8 - self.height, self.width), np.uint8)
+                images = np.concatenate([images, pad], axis=1)
+            return jnp.asarray(images.view(np.uint32))
+        images = jnp.asarray(images, jnp.uint8)
+        if hp8 != self.height:
+            images = jnp.pad(images, ((0, 0), (0, hp8 - self.height), (0, 0)))
+        x4 = images.reshape(images.shape[0], hp8, self.width // 4, 4)
+        return jax.lax.bitcast_convert_type(x4, jnp.uint32)
+
     def encode(self, images) -> EncodedBatch:
         """(B, H, W) or (H, W) u8 frames → :class:`EncodedBatch`."""
-        images, _ = self._check(images)
-        depths, mins, payload, n64 = self._encode(images)
+        if self.backend == "band":
+            if isinstance(images, np.ndarray) and images.ndim == 2:
+                images = images[None]
+            if not isinstance(images, np.ndarray):
+                images, _ = self._check(images)
+            depths, mins, payload, n64 = self._encode(self._to_img32(images))
+        else:
+            images, _ = self._check(images)
+            depths, mins, payload, n64 = self._encode(images)
         return EncodedBatch(depths=depths, mins=mins, payload=payload, n64=n64)
 
-    def decode(self, depths, mins, payload) -> jax.Array:
-        """Encoded arrays → (B, H, W) u8 frames."""
-        return self._decode(
+    def decode(self, depths, mins, payload):
+        """Encoded arrays → (B, H, W) u8 frames (numpy for the band backend)."""
+        out = self._decode(
             jnp.asarray(depths, jnp.uint8),
             jnp.asarray(mins, jnp.uint8),
             jnp.asarray(payload, jnp.uint32),
         )
+        if self.backend == "band":
+            return np.asarray(out).view(np.uint8)[:, : self.height, : self.width]
+        return out
 
     def _roundtrip_fn(self, images):
         depths, mins, payload, n64 = self._encode_impl(images)
         out = self._decode_impl(depths, mins, payload, self.height, self.width)
         return out, n64
 
+    def _roundtrip_band(self, img32):
+        depths, mins, payload, n64 = _encode_fn_band(img32, self.tiles)
+        out32 = _decode_fn_band(depths, mins, payload, self.height, self.width)
+        return out32, n64
+
     def roundtrip(self, images):
         """Fused encode→decode (single compiled program); returns (frames, n64)."""
+        if self.backend == "band":
+            single = getattr(images, "ndim", 3) == 2
+            if single:
+                images = np.asarray(images)[None]
+            out32, n64 = self._roundtrip(self._to_img32(np.asarray(images, dtype=np.uint8)))
+            out = np.asarray(out32).view(np.uint8)[:, : self.height, : self.width]
+            return (out[0], n64[0]) if single else (out, n64)
         images, single = self._check(images)
         out, n64 = self._roundtrip(images)
         return (out[0], n64[0]) if single else (out, n64)

@@ -1,0 +1,112 @@
+"""Shared in-kernel primitives for the Pallas DBDE codecs.
+
+These are the vector-unit building blocks common to the tile-layout kernels
+(pallas_kernels*.py) and the image-layout band kernels (pallas_band.py):
+lane-wise prefix sums, the vectorized binary search that replaces the
+reference's serial payload cursor (dbde_util.cpp:150-158), the closed-form
+bit-pack contributions (dbde_util.cpp:82-100 equivalence), per-group payload
+compaction, and the roll-based stream splice.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl  # noqa: F401 (kept for kernel authors)
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _lanes(shape) -> jnp.ndarray:
+    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+
+
+def _rows(shape) -> jnp.ndarray:
+    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2)
+
+
+def _exclusive_lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix-sum along the last (lane) axis via log-step rolls."""
+    acc = x
+    d = 1
+    while d < x.shape[-1]:
+        r = jnp.where(_lanes(x.shape) >= d, pltpu.roll(acc, d, len(x.shape) - 1), 0)
+        acc = acc + r
+        d *= 2
+    return acc - x
+
+
+def _rightmost_le(sorted_b: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Rightmost index t (per lane-row) with sorted_b[..., t] <= q.
+
+    ``sorted_b`` rows are identical sorted (128,) arrays broadcast to q's
+    shape; classic binary ascent, all lane gathers within one 128-lane group
+    (the TPU's vector-gather limit).
+    """
+    lo = jnp.zeros_like(q)
+    step = LANES // 2
+    while step >= 1:
+        cand = jnp.minimum(lo + step, LANES - 1)
+        v = jnp.take_along_axis(sorted_b, cand, axis=-1)
+        lo = jnp.where(v <= q, cand, lo)
+        step //= 2
+    return lo
+
+
+def _pack_contributions(res_rows, k: int, j: int):
+    """OR of statically-shifted pixel lanes forming u32 word j at depth k.
+
+    Pixel i occupies payload bits [i*k, i*k+k); rel = i*k - 32*j.  u32 shift
+    wraparound performs straddle truncation exactly — the closed form of the
+    reference's scalar 4k-bit flush loop (dbde_util.cpp:82-100).
+    """
+    acc = None
+    for i in range(64):
+        rel = i * k - 32 * j
+        if rel <= -k or rel >= 32:
+            continue
+        contrib = (res_rows[i] << rel) if rel >= 0 else (res_rows[i] >> (-rel))
+        acc = contrib if acc is None else (acc | contrib)
+    return acc
+
+
+def _compact_group(words_ref, depth, s):
+    """Compact group s's 128 tiles → (seg (16,128) u32 stream, total words).
+
+    Exclusive lane-cumsum gives per-tile offsets; a vectorized binary search
+    maps each of the 2048 output word slots to its source tile; a
+    16-candidate gather/select materializes the stream segment.
+    """
+    counts = 2 * depth[s : s + 1, :]
+    loff = _exclusive_lane_cumsum(counts)
+    total = jnp.sum(counts)
+    q = _rows((16, LANES)) * LANES + _lanes((16, LANES))
+    loff_b = jnp.broadcast_to(loff, (16, LANES))
+    tile_of = _rightmost_le(loff_b, q)
+    within = jnp.minimum(q - jnp.take_along_axis(loff_b, tile_of, axis=-1), 15)
+    seg = jnp.zeros((16, LANES), jnp.uint32)
+    for jj in range(16):
+        row = jnp.broadcast_to(words_ref[jj][s : s + 1, :], (16, LANES))
+        cand = jnp.take_along_axis(row, tile_of, axis=-1)
+        seg = jnp.where(within == jj, cand, seg)
+    return seg, total
+
+
+def _splice17(seg, carry, r0):
+    """Align a 2048-word segment to lane offset r0 with a carry first row.
+
+    Returns the (17,128) window to land at payload row ``cursor >> 7``:
+    16 rolled rows plus the spill row of lanes that wrapped.
+    """
+    rolled = pltpu.roll(seg, r0, 1)
+    prev = pltpu.roll(rolled, 1, 0)
+    lanes16 = _lanes((16, LANES))
+    out16 = jnp.where(lanes16 >= r0, rolled, prev)
+    out16 = jnp.where(
+        (_rows((16, LANES)) == 0) & (lanes16 < r0),
+        jnp.broadcast_to(carry, (16, LANES)),
+        out16,
+    )
+    spill = jnp.where(_lanes((1, LANES)) < r0, rolled[15:16, :], jnp.uint32(0))
+    return jnp.concatenate([out16, spill], axis=0)

@@ -1,0 +1,371 @@
+"""Band-layout Pallas kernels: DBDE codec straight from image memory.
+
+The transpose problem: the codec kernels want tiles on vector lanes, but
+images live row-major.  Materializing a tile-major layout in XLA costs ~3 ms
+per 33 MB (8-byte-granule scatter, dtype-independent) — more than the codec
+kernel itself.  These kernels instead read/write the image layout directly
+(contiguous u32 blocks, fast DMA) and perform the pixel↔tile transpose
+*in-register* with per-row lane gathers (≈500 thin ops per 1024-tile block,
+~15× cheaper than the XLA transpose).
+
+Geometry fast path: requires ``W % 1024 == 0`` (tile columns per row multiple
+of 128, so payload-compaction lane groups align to tile rows).  H is padded
+to a multiple of 32 rows with zeros — zero tiles have depth 0 and emit no
+payload words, so the byte stream is unaffected; the caller slices the extra
+depth/min entries and decoded rows away.  The general-geometry path stays in
+pallas_kernels.py.
+
+Everything else (per-depth predicated pack, lane-cumsum offsets, vectorized
+binary-search compaction, roll-spliced staging with one DMA per block and an
+SMEM cursor) matches pallas_kernels_x.py; see that module and
+dbde_util.cpp:137-180/291-328 for the format semantics being reproduced.
+
+Image arrays cross the boundary as u32 (4 packed pixels): u8 arrays are
+~10× slower through the TPU memory system here.  ``(B, H, W) u8`` on host ==
+``(B, H, W//4) u32`` via a free numpy view.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .kernel_common import (
+    _compact_group,
+    _exclusive_lane_cumsum,
+    _lanes,
+    _pack_contributions,
+    _rows,
+    _splice17,
+)
+
+LANES = 128
+STAGE_ROWS = 160
+
+
+def payload_rows(tp: int) -> int:
+    return tp * 16 // LANES + STAGE_ROWS + 8
+
+
+def band_supported(width: int) -> bool:
+    return width % 1024 == 0
+
+
+def n_bands(width: int) -> int:
+    """Tile rows per grid step: smallest count making the group total a
+    multiple of 8 (the depths-output block sublane constraint)."""
+    import math
+
+    wp = width // 8
+    return 1024 // math.gcd(wp, 1024)
+
+
+def pad_rows(h_img: int, width: int) -> int:
+    """Image rows padded to a whole number of grid blocks."""
+    unit = 8 * n_bands(width)
+    return -(-h_img // unit) * unit
+
+
+def _gather_even_odd8(src_a, src_b, hx):
+    """Deinterleave 8 rows at once: out[r, l] = (src_a ++ src_b)[r, 2l+hx].
+
+    src_a/src_b are adjacent (8, 128)-lane slices; gathers stay inside one
+    128-lane group (and at (8,128) shape — Mosaic rejects thinner gathers).
+    """
+    l = _lanes((8, LANES))
+    ia = jnp.minimum(2 * l + hx, LANES - 1)
+    ib = jnp.clip(2 * l + hx - LANES, 0, LANES - 1)
+    return jnp.where(
+        2 * l + hx < LANES,
+        jnp.take_along_axis(src_a, ia, axis=-1),
+        jnp.take_along_axis(src_b, ib, axis=-1),
+    )
+
+
+def _interleave_half8(e8, o8, half):
+    """Inverse over 8 rows: out[r, u] = e8/o8[r, (u + 128*half) >> 1] by
+    parity of u."""
+    u = _lanes((8, LANES))
+    idx = (u >> 1) + (64 if half else 0)
+    return jnp.where(
+        (u & 1) == 0,
+        jnp.take_along_axis(e8, idx, axis=-1),
+        jnp.take_along_axis(o8, idx, axis=-1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+def _encode_kernel(groups_row, bands, img_ref, depths_ref, mins_ref, payload_ref,
+                   cursor_ref, carry_ref, words_ref, stage_ref, sem):
+    groups = bands * groups_row
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        cursor_ref[0] = 0
+        carry_ref[...] = jnp.zeros((1, LANES), jnp.uint32)
+
+    x = img_ref[0]  # (32, 2*wp) u32: 4 bands of 8 image rows
+
+    # ---- in-register transpose: image rows → tiles_W rows (groups, 128) ----
+    # x32v[ww][grp, tc] = word (r=ww>>1, hx=ww&1) of tile (tr, 128*gc + tc).
+    # Deinterleave per (group, parity) at (8,128) shape, then redistribute
+    # rows (cheap sublane placements, no data-dependent movement).
+    deint = {}
+    for grp in range(groups):
+        tr, gc = grp // groups_row, grp % groups_row
+        xa = x[8 * tr : 8 * tr + 8, 256 * gc : 256 * gc + 128]
+        xb = x[8 * tr : 8 * tr + 8, 256 * gc + 128 : 256 * gc + 256]
+        deint[(grp, 0)] = _gather_even_odd8(xa, xb, 0)
+        deint[(grp, 1)] = _gather_even_odd8(xa, xb, 1)
+    x32v = []
+    for ww in range(16):
+        r, hx = ww >> 1, ww & 1
+        x32v.append(
+            jnp.concatenate(
+                [deint[(grp, hx)][r : r + 1, :] for grp in range(groups)], axis=0
+            )
+        )
+
+    pix = []
+    for i in range(64):
+        r, cc = i >> 3, i & 7
+        word = x32v[2 * r + (cc >> 2)]
+        bsh = 8 * (cc & 3)
+        v = word >> bsh if bsh else word
+        pix.append((v & jnp.uint32(0xFF)).astype(jnp.int32))
+
+    mn = pix[0]
+    mx = pix[0]
+    for i in range(1, 64):
+        mn = jnp.minimum(mn, pix[i])
+        mx = jnp.maximum(mx, pix[i])
+    rng = mx - mn
+    depth = jnp.zeros((groups, LANES), jnp.int32)
+    for i in range(8):
+        depth += (rng > (1 << i) - 1).astype(jnp.int32)
+    res = [(pix[i] - mn).astype(jnp.uint32) for i in range(64)]
+
+    depths_ref[...] = depth.astype(jnp.uint8).reshape(1, groups, LANES)
+    mins_ref[...] = mn.astype(jnp.uint8).reshape(1, groups, LANES)
+
+    for j in range(16):
+        words_ref[j] = jnp.zeros((groups, LANES), jnp.uint32)
+    for k in range(1, 9):
+        @pl.when(jnp.any(depth == k))
+        def _(k=k):
+            sel = depth == k
+            for j in range(2 * k):
+                words_ref[j] = jnp.where(sel, _pack_contributions(res, k, j), words_ref[j])
+
+    row_base = cursor_ref[0] >> 7
+    stage = jnp.zeros((STAGE_ROWS, LANES), jnp.uint32)
+    for s in range(groups):
+        seg, total = _compact_group(words_ref, depth, s)
+        c = cursor_ref[0]
+        lc = c - (row_base << 7)
+        win17 = _splice17(seg, carry_ref[...], lc & (LANES - 1))
+        pad = jnp.concatenate(
+            [win17, jnp.zeros((STAGE_ROWS - 17, LANES), jnp.uint32)], axis=0
+        )
+        stage = stage | pltpu.roll(pad, lc >> 7, 0)
+
+        lc_new = lc + total
+        ri = (lc_new >> 7) - (lc >> 7)
+        win24 = jnp.concatenate([win17, jnp.zeros((7, LANES), jnp.uint32)], axis=0)
+        top = pltpu.roll(win24, (24 - ri) % 24, 0)[0:1, :]
+        carry_ref[...] = jnp.where(
+            _lanes((1, LANES)) < (lc_new & (LANES - 1)), top, jnp.uint32(0)
+        )
+        cursor_ref[0] = c + total
+
+    stage_ref[...] = stage
+    dma = pltpu.make_async_copy(
+        stage_ref, payload_ref.at[b, pl.ds(row_base, STAGE_ROWS), :], sem
+    )
+    dma.start()
+    dma.wait()
+
+
+def encode_band_kernel(img32: jnp.ndarray):
+    """img32 (B, Hp, W//4) u32 [Hp % 32 == 0, W % 1024 == 0] →
+    (depths (B, Tp//128, 128) u8, mins, payload (B, R, 128) u32)."""
+    B, hp8, wq = img32.shape
+    W = wq * 4
+    bands = n_bands(W)
+    assert W % 1024 == 0 and hp8 % (8 * bands) == 0
+    wp = W // 8
+    groups_row = wp // LANES
+    groups = bands * groups_row
+    nb = hp8 // (8 * bands)
+    tp = (hp8 // 8) * wp
+    rows = payload_rows(tp)
+    kern = functools.partial(_encode_kernel, groups_row, bands)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nb),
+        in_specs=[
+            pl.BlockSpec((1, 8 * bands, 2 * wp), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((B, tp // LANES, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((B, tp // LANES, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((B, rows, LANES), jnp.uint32),
+        ),
+        out_specs=(
+            pl.BlockSpec((1, groups, LANES), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, groups, LANES), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.uint32),
+            pltpu.VMEM((16, groups, LANES), jnp.uint32),
+            pltpu.VMEM((STAGE_ROWS, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(img32)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(groups_row, bands, depths_ref, mins_ref, payload_ref, img_ref,
+                   cursor_ref, win_ref, res_ref, rstage_ref, sem):
+    groups = bands * groups_row
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        cursor_ref[0] = 0
+
+    row_base = cursor_ref[0] >> 7
+    dma = pltpu.make_async_copy(
+        payload_ref.at[b, pl.ds(row_base, STAGE_ROWS), :], rstage_ref, sem
+    )
+    dma.start()
+
+    depth = depths_ref[0].astype(jnp.int32)  # (groups, 128)
+    mn = mins_ref[0].astype(jnp.int32)
+    loffs, totals = [], []
+    for s in range(groups):
+        counts = 2 * depth[s : s + 1, :]
+        loffs.append(_exclusive_lane_cumsum(counts))
+        totals.append(jnp.sum(counts))
+
+    dma.wait()
+
+    c = cursor_ref[0]
+    for s in range(groups):
+        lc = c - (row_base << 7)
+        r0 = lc & (LANES - 1)
+        lg0 = lc >> 7
+        loff_b = jnp.broadcast_to(loffs[s], (16, LANES))
+        phys = loff_b + _rows((16, LANES)) + r0
+        src_row = phys >> 7
+        src_lane = phys & (LANES - 1)
+        win = jnp.zeros((16, LANES), jnp.uint32)
+        for rr in range(17):
+            row = jnp.broadcast_to(rstage_ref[pl.ds(lg0 + rr, 1), :], (16, LANES))
+            cand = jnp.take_along_axis(row, src_lane, axis=-1)
+            win = jnp.where(src_row == rr, cand, win)
+        win_ref[:, s, :] = win
+        c = c + totals[s]
+    cursor_ref[0] = c
+
+    for i in range(64):
+        res_ref[i] = jnp.zeros((groups, LANES), jnp.uint32)
+    for k in range(1, 9):
+        @pl.when(jnp.any(depth == k))
+        def _(k=k):
+            sel = depth == k
+            mask = jnp.uint32((1 << k) - 1)
+            for i in range(64):
+                bit = i * k
+                j, sh = bit >> 5, bit & 31
+                v = win_ref[j] >> sh
+                if sh + k > 32:
+                    v = v | (win_ref[j + 1] << (32 - sh))
+                res_ref[i] = jnp.where(sel, v & mask, res_ref[i])
+
+    # ---- re-pack pixels into tiles_W words, then inverse transpose ----
+    mn_u = mn.astype(jnp.uint32)
+    out_rows = []  # [ww] → (groups, 128)
+    for ww in range(16):
+        r, hx = ww >> 1, ww & 1
+        base = 8 * r + 4 * hx
+        w = res_ref[base] + mn_u
+        w = w | ((res_ref[base + 1] + mn_u) << 8)
+        w = w | ((res_ref[base + 2] + mn_u) << 16)
+        w = w | ((res_ref[base + 3] + mn_u) << 24)
+        out_rows.append(w)
+
+    iv = {}
+    for grp in range(groups):
+        e8 = jnp.concatenate(
+            [out_rows[2 * r][grp : grp + 1, :] for r in range(8)], axis=0
+        )
+        o8 = jnp.concatenate(
+            [out_rows[2 * r + 1][grp : grp + 1, :] for r in range(8)], axis=0
+        )
+        iv[(grp, 0)] = _interleave_half8(e8, o8, 0)
+        iv[(grp, 1)] = _interleave_half8(e8, o8, 1)
+    img_rows = []
+    for img_r in range(8 * bands):
+        tr, r = img_r >> 3, img_r & 7
+        pieces = []
+        for gc in range(groups_row):
+            grp = tr * groups_row + gc
+            pieces.append(iv[(grp, 0)][r : r + 1, :])
+            pieces.append(iv[(grp, 1)][r : r + 1, :])
+        img_rows.append(jnp.concatenate(pieces, axis=-1))  # (1, 2*wp)
+    img_ref[...] = jnp.concatenate(img_rows, axis=0).reshape(1, 8 * bands, -1)
+
+
+def decode_band_kernel(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray,
+                       width: int):
+    """(depths (B,Tp//128,128) u8, mins, payload (B,R,128) u32) →
+    img32 (B, Hp, W//4) u32."""
+    B, rows8, _ = depths.shape
+    tp = rows8 * LANES
+    assert width % 1024 == 0
+    bands = n_bands(width)
+    wp = width // 8
+    groups_row = wp // LANES
+    groups = bands * groups_row
+    hp = tp // wp  # padded tile rows
+    assert hp % bands == 0
+    nb = hp // bands
+    kern = functools.partial(_decode_kernel, groups_row, bands)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nb),
+        in_specs=[
+            pl.BlockSpec((1, groups, LANES), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, groups, LANES), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, hp * 8, 2 * wp), jnp.uint32),
+        out_specs=pl.BlockSpec((1, 8 * bands, 2 * wp), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((16, groups, LANES), jnp.uint32),
+            pltpu.VMEM((64, groups, LANES), jnp.uint32),
+            pltpu.VMEM((STAGE_ROWS, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(depths, mins, payload)

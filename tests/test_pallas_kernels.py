@@ -33,16 +33,65 @@ def _modules():
     return {"stable": stable, "experimental": experimental}
 
 
+def band_roundtrip_check(frames):
+    """Differential check of the image-layout (band) kernels vs the oracle."""
+    import dbde_tpu.ops.pallas_band as pb
+    from dbde_tpu.format import tile_grid
+
+    B, H, W = frames.shape
+    h, w = tile_grid(W, H)
+    T = h * w
+    hp8 = pb.pad_rows(H, W)
+    padded = np.zeros((B, hp8, W), np.uint8)
+    padded[:, :H] = frames
+    if 8 * h > H:  # format edge rule for the ragged last tile row
+        padded[:, H : 8 * h] = frames[:, H - 1 : H]
+    d, m, p = pb.encode_band_kernel(jnp.asarray(padded.view(np.uint32)))
+    d = np.asarray(d).reshape(B, -1)
+    m = np.asarray(m).reshape(B, -1)
+    p = np.asarray(p)
+    for b in range(B):
+        exp = ref.pack_image(frames[b])
+        np.testing.assert_array_equal(d[b, :T], np.frombuffer(exp, np.uint8, T, 4))
+        np.testing.assert_array_equal(m[b, :T], np.frombuffer(exp, np.uint8, T, 8 + T))
+        assert (d[b, T:] == 0).all()  # pad tiles emit nothing
+        exp_p = np.frombuffer(exp, np.uint32, offset=12 + 2 * T)
+        np.testing.assert_array_equal(p[b].reshape(-1)[: len(exp_p)], exp_p)
+    img2 = pb.decode_band_kernel(
+        jnp.asarray(d.reshape(B, -1, 128)), jnp.asarray(m.reshape(B, -1, 128)),
+        jnp.asarray(p), W,
+    )
+    out = np.asarray(img2).view(np.uint8)[:, :H, :W]
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_band_kernel_parity_ragged_rows():
+    rng = np.random.default_rng(4)
+    frames = (rng.integers(0, 256, (2, 43, 1024)) & rng.integers(0, 256, (2, 43, 1024))).astype(np.uint8)
+    band_roundtrip_check(frames)
+
+
+def test_band_kernel_parity_multiblock():
+    rng = np.random.default_rng(5)
+    frames = (rng.integers(0, 32, (1, 96, 1024)) + 40).astype(np.uint8)
+    band_roundtrip_check(frames)
+
+
 def roundtrip_check(pk, frames):
     B, H, W = frames.shape
     h, w = tile_grid(W, H)
     T = h * w
     tp = pk.pad_tiles(T)
-    tiles = np.stack([ref.tile_image(f) for f in frames])
-    tiles_t = np.zeros((B, 64, tp), np.uint8)
-    tiles_t[:, :, :T] = tiles.transpose(0, 2, 1)
+    tiles_w_style = hasattr(pk, "image_to_tiles_w")
+    if tiles_w_style:
+        kernel_in = pk.image_to_tiles_w(jnp.asarray(frames))
+    else:
+        tiles = np.stack([ref.tile_image(f) for f in frames])
+        tiles_t = np.zeros((B, 64, tp), np.uint8)
+        tiles_t[:, :, :T] = tiles.transpose(0, 2, 1)
+        kernel_in = jnp.asarray(tiles_t)
 
-    d, m, p = pk.encode_tiles_kernel(jnp.asarray(tiles_t))
+    d, m, p = pk.encode_tiles_kernel(kernel_in)
     d = np.asarray(d).reshape(B, -1)
     m = np.asarray(m).reshape(B, -1)
     p = np.asarray(p)
@@ -53,14 +102,18 @@ def roundtrip_check(pk, frames):
         exp_p = np.frombuffer(exp, np.uint32, offset=12 + 2 * T)
         np.testing.assert_array_equal(p[b].reshape(-1)[: len(exp_p)], exp_p)
 
-    tt = pk.decode_tiles_kernel(
+    out_kernel = pk.decode_tiles_kernel(
         jnp.asarray(d.reshape(B, -1, 128)),
         jnp.asarray(m.reshape(B, -1, 128)),
         jnp.asarray(p),
     )
-    tt = np.asarray(tt)
-    for b in range(B):
-        np.testing.assert_array_equal(ref.untile_image(tt[b, :, :T].T, W, H), frames[b])
+    if tiles_w_style:
+        out = np.asarray(pk.tiles_w_to_image(out_kernel, H, W))
+        np.testing.assert_array_equal(out, frames)
+    else:
+        tt = np.asarray(out_kernel)
+        for b in range(B):
+            np.testing.assert_array_equal(ref.untile_image(tt[b, :, :T].T, W, H), frames[b])
 
 
 @pytest.mark.parametrize("variant", ["stable", "experimental"])
