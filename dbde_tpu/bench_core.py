@@ -68,12 +68,25 @@ def _measure(fn, *args, reps: int = 4) -> float:
 
 def run_bench(width: int = 2048, height: int = 2048, frames: int = 8,
               iters: int = 4, content: str = "camera") -> dict:
+    """Robust wrapper: falls back through backends if a compile flakes
+    (the remote TPU compile service intermittently 500s)."""
+    last = None
+    for backend in ("auto", "auto", "pallas", "xla"):
+        try:
+            return _run_bench(width, height, frames, iters, content, backend)
+        except Exception as e:  # noqa: BLE001 - must always produce a result
+            last = e
+    raise last
+
+
+def _run_bench(width: int, height: int, frames: int, iters: int,
+               content: str, backend: str) -> dict:
     import jax
     import jax.numpy as jnp
 
     from .codec import DbdeCodec
 
-    codec = DbdeCodec(height=height, width=width)
+    codec = DbdeCodec(height=height, width=width, backend=backend)
     images_np = make_content(width, height, frames, content)
     images = jnp.asarray(images_np)
     npix = frames * height * width

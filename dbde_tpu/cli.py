@@ -123,6 +123,21 @@ def _cmd_roundtrip(args) -> int:
     return 1
 
 
+def _cmd_golden(args) -> int:
+    """Write the format-conformance golden file (the reference's
+    DBDE_WRITE_MINIMAL / DBDE_MULTIPLE_MINIMAL_FRAMES fixture generator,
+    dbde_util_test.cpp:204-211, as a runtime command)."""
+    from .golden_vectors import GOLDEN_8x16_FILE
+
+    data = GOLDEN_8x16_FILE
+    if args.frames > 1:
+        data = data + GOLDEN_8x16_FILE[28:] * (args.frames - 1)
+    with open(args.output, "wb") as f:
+        f.write(data)
+    print(f"wrote {len(data)} bytes ({args.frames} frame(s)) to {args.output}")
+    return 0
+
+
 def _cmd_bench(args) -> int:
     from .bench_core import run_bench
 
@@ -169,6 +184,11 @@ def main(argv=None) -> int:
     s.add_argument("file")
     s.add_argument("--no-device", action="store_true")
     s.set_defaults(fn=_cmd_roundtrip)
+
+    s = sub.add_parser("golden", help="write the 8x16 conformance fixture file")
+    s.add_argument("-o", "--output", default="minimal.dbde")
+    s.add_argument("--frames", type=int, default=1, help="repeat the frame N times")
+    s.set_defaults(fn=_cmd_golden)
 
     s = sub.add_parser("bench", help="device codec throughput benchmark")
     s.add_argument("--width", type=int, default=2048)

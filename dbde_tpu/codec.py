@@ -276,8 +276,10 @@ def pack_frames_bytes(enc: EncodedBatch, indices=None, elapsed_ns=None) -> list[
     """
     depths = np.asarray(enc.depths)
     mins = np.asarray(enc.mins)
-    payload = np.asarray(enc.payload)
     n64 = np.asarray(enc.n64)
+    # transfer only the live payload prefix (the buffer is worst-case sized)
+    mx = 2 * int(n64.max()) if len(n64) else 0
+    payload = np.asarray(enc.payload[:, :mx]) if mx < enc.payload.shape[1] else np.asarray(enc.payload)
     B, T = depths.shape
     out = []
     count = struct.pack("<i", T)
@@ -295,26 +297,29 @@ def pack_frames_bytes(enc: EncodedBatch, indices=None, elapsed_ns=None) -> list[
                     count,
                     mins[b].tobytes(),
                     struct.pack("<i", n),
-                    payload[b, : 2 * n].tobytes(),
+                    np.ascontiguousarray(payload[b, : 2 * n]).tobytes(),
                 )
             )
         )
     return out
 
 
-def unpack_frames_bytes(buf: bytes, W: int, H: int, offsets: list[int]):
+def unpack_frames_bytes(buf: bytes, W: int, H: int, offsets: list[int],
+                        stride_words: int | None = None):
     """Parse frame-data records at byte ``offsets`` → stacked numpy arrays.
 
-    Returns (depths (B,T) u8, mins (B,T) u8, payload (B,16T) u32, n64 (B,)),
-    ready for :meth:`DbdeCodec.decode`.  Raises ValueError on count-field
-    mismatches (the reference's hard-error parity, dbde_util.cpp:295-303).
+    Returns (depths (B,T) u8, mins (B,T) u8, payload (B,S) u32, n64 (B,)),
+    ready for :meth:`DbdeCodec.decode` (S defaults to the worst case 16*T).
+    Raises ValueError on count-field mismatches (the reference's hard-error
+    parity, dbde_util.cpp:295-303).
     """
     h, w = tile_grid(W, H)
     T = h * w
     B = len(offsets)
+    S = stride_words if stride_words is not None else T * MAX_WORDS_PER_TILE
     depths = np.empty((B, T), np.uint8)
     mins = np.empty((B, T), np.uint8)
-    payload = np.zeros((B, T * MAX_WORDS_PER_TILE), np.uint32)
+    payload = np.zeros((B, S), np.uint32)
     n64s = np.empty((B,), np.int32)
     for b, off in enumerate(offsets):
         (nb,) = struct.unpack_from("<i", buf, off)

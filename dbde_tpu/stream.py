@@ -155,7 +155,7 @@ class DbdeReader:
         if self._pos > 0:  # compact between batches (offsets below stay valid)
             del self._buf[: self._pos]
             self._pos = 0
-        headers, offsets = [], []
+        headers, offsets, max_n64 = [], [], 0
         while len(headers) < self.batch_size:
             rec = self._next_record()
             if rec is None:
@@ -163,15 +163,17 @@ class DbdeReader:
             fh, off, size = rec
             headers.append(fh)
             offsets.append(off + FRAME_HEADER_BYTES)
+            max_n64 = max(max_n64, (size - FRAME_HEADER_BYTES - 12 - 2 * self.tiles) // 8)
         if not headers:
             return None
+        # round the payload stride up to bound device-program recompiles while
+        # keeping host->device transfer near the true encoded size
+        stride = min(16 * self.tiles, -(-2 * max_n64 // 65536) * 65536 or 2)
         if self._native is not None:
-            arrays = self._native.gather_fields(
-                self._buf, offsets, self.tiles, 16 * self.tiles
-            )
+            arrays = self._native.gather_fields(self._buf, offsets, self.tiles, stride)
         else:
             arrays = unpack_frames_bytes(
-                bytes(self._buf), self.width, self.height, offsets
+                bytes(self._buf), self.width, self.height, offsets, stride
             )
         return headers, arrays
 
@@ -300,11 +302,17 @@ class DbdeWriter:
 
         enc, indices, ns = self._pending.popleft()
         if self._native is not None:
+            n64 = np.asarray(enc.n64)
+            mx = 2 * int(n64.max()) if len(n64) else 0
+            payload = (
+                np.asarray(enc.payload[:, :mx])
+                if mx < enc.payload.shape[1]
+                else np.asarray(enc.payload)
+            )
             self._f.write(
                 self._native.assemble_records(
                     np.asarray(enc.depths), np.asarray(enc.mins),
-                    np.asarray(enc.payload), np.asarray(enc.n64),
-                    indices=indices, elapsed_ns=ns,
+                    payload, n64, indices=indices, elapsed_ns=ns,
                 )
             )
         else:
