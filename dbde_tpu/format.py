@@ -22,6 +22,10 @@ Format parity notes (reference: /root/reference/dbde_util.cpp):
   * Parsers flag a bad ``u64s`` count with the sentinel value 0xFFFFFFFF
     (dbde_util.cpp:335,357) rather than raising; we keep that behavior and
     additionally expose ``.ok``.
+  * The reference's ``DBDE_INVERT_ENDIAN`` build flag (dbde_util.cpp:15-19)
+    is intentionally dropped: it byte-swaps in-memory SIMD row lanes on
+    big-endian hosts and has no effect on the on-disk format, which is
+    little-endian everywhere (README.md:27); TPU hosts are little-endian.
 """
 
 from __future__ import annotations

@@ -97,7 +97,11 @@ class DbdeReader:
             raise ValueError(f"bad video header (u64s={self.header.u64s})")
         self.height = int(self.header.height)
         self.width = int(self.header.width)
-        if not (0 < self.height and 0 < self.width):
+        # geometry caps parity with the reference walker (dbde_util.cpp:374-378)
+        from .format import MAX_DIM, MAX_PIXELS
+
+        if not (0 < self.height <= MAX_DIM and 0 < self.width <= MAX_DIM
+                and self.height * self.width <= MAX_PIXELS):
             raise ValueError("bad frame geometry")
         h, w = tile_grid(self.width, self.height)
         self.tiles = h * w
