@@ -49,6 +49,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kernel_common import (
+    _exclusive_lane_cumsum,
+    _lanes,
+    _pack_contributions,
+    _rightmost_le,
+    _rows,
+)
+
 TILES_BLOCK = 1024  # tiles per grid step = 8 sublane-groups x 128 lanes
 GROUPS = 8
 LANES = 128
@@ -65,56 +73,9 @@ def pad_tiles(t: int) -> int:
     return -(-t // TILES_BLOCK) * TILES_BLOCK
 
 
-def _lanes(shape) -> jnp.ndarray:
-    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
 
 
-def _rows(shape) -> jnp.ndarray:
-    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2)
 
-
-def _exclusive_lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
-    """Exclusive prefix-sum along the last (lane) axis via log-step rolls."""
-    acc = x
-    d = 1
-    while d < x.shape[-1]:
-        r = jnp.where(_lanes(x.shape) >= d, pltpu.roll(acc, d, len(x.shape) - 1), 0)
-        acc = acc + r
-        d *= 2
-    return acc - x
-
-
-def _rightmost_le(sorted_b: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """Rightmost index t (per lane-row) with sorted_b[..., t] <= q.
-
-    ``sorted_b`` rows are identical sorted (128,) arrays broadcast to q's
-    shape; classic binary ascent, all lane gathers within one 128-lane group.
-    """
-    lo = jnp.zeros_like(q)
-    step = LANES // 2
-    while step >= 1:
-        cand = jnp.minimum(lo + step, LANES - 1)
-        v = jnp.take_along_axis(sorted_b, cand, axis=-1)
-        lo = jnp.where(v <= q, cand, lo)
-        step //= 2
-    return lo
-
-
-def _pack_contributions(res_rows, k: int, j: int):
-    """OR of statically-shifted pixel lanes forming u32 word j at depth k.
-
-    Pixel i occupies payload bits [i*k, i*k+k); rel = i*k - 32*j.  u32 shift
-    wraparound performs straddle truncation exactly (dbde_util.cpp:82-100
-    equivalence, closed form instead of the scalar flush loop).
-    """
-    acc = None
-    for i in range(64):
-        rel = i * k - 32 * j
-        if rel <= -k or rel >= 32:
-            continue
-        contrib = (res_rows[i] << rel) if rel >= 0 else (res_rows[i] >> (-rel))
-        acc = contrib if acc is None else (acc | contrib)
-    return acc
 
 
 def _compact_group(words_ref, depth, s):

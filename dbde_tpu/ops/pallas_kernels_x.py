@@ -26,6 +26,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kernel_common import (
+    _compact_group,
+    _exclusive_lane_cumsum,
+    _lanes,
+    _pack_contributions,
+    _rightmost_le,
+    _rows,
+    _splice17,
+)
+
 TILES_BLOCK = 1024
 GROUPS = 8
 LANES = 128
@@ -40,44 +50,9 @@ def pad_tiles(t: int) -> int:
     return -(-t // TILES_BLOCK) * TILES_BLOCK
 
 
-def _lanes(shape) -> jnp.ndarray:
-    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
 
 
-def _rows(shape) -> jnp.ndarray:
-    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 2)
 
-
-def _exclusive_lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
-    acc = x
-    d = 1
-    while d < x.shape[-1]:
-        r = jnp.where(_lanes(x.shape) >= d, pltpu.roll(acc, d, len(x.shape) - 1), 0)
-        acc = acc + r
-        d *= 2
-    return acc - x
-
-
-def _rightmost_le(sorted_b: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    lo = jnp.zeros_like(q)
-    step = LANES // 2
-    while step >= 1:
-        cand = jnp.minimum(lo + step, LANES - 1)
-        v = jnp.take_along_axis(sorted_b, cand, axis=-1)
-        lo = jnp.where(v <= q, cand, lo)
-        step //= 2
-    return lo
-
-
-def _pack_contributions(res_rows, k: int, j: int):
-    acc = None
-    for i in range(64):
-        rel = i * k - 32 * j
-        if rel <= -k or rel >= 32:
-            continue
-        contrib = (res_rows[i] << rel) if rel >= 0 else (res_rows[i] >> (-rel))
-        acc = contrib if acc is None else (acc | contrib)
-    return acc
 
 
 def _extract_pixels(x32):
@@ -92,35 +67,6 @@ def _extract_pixels(x32):
     return out
 
 
-def _compact_group(words_ref, depth, s):
-    counts = 2 * depth[s : s + 1, :]
-    loff = _exclusive_lane_cumsum(counts)
-    total = jnp.sum(counts)
-    q = _rows((16, LANES)) * LANES + _lanes((16, LANES))
-    loff_b = jnp.broadcast_to(loff, (16, LANES))
-    tile_of = _rightmost_le(loff_b, q)
-    within = jnp.minimum(q - jnp.take_along_axis(loff_b, tile_of, axis=-1), 15)
-    seg = jnp.zeros((16, LANES), jnp.uint32)
-    for jj in range(16):
-        row = jnp.broadcast_to(words_ref[jj][s : s + 1, :], (16, LANES))
-        cand = jnp.take_along_axis(row, tile_of, axis=-1)
-        seg = jnp.where(within == jj, cand, seg)
-    return seg, total
-
-
-def _splice17(seg, carry, r0):
-    """→ (17,128): segment lane-rolled to offset r0, carry in row0's low lanes."""
-    rolled = pltpu.roll(seg, r0, 1)
-    prev = pltpu.roll(rolled, 1, 0)
-    lanes16 = _lanes((16, LANES))
-    out16 = jnp.where(lanes16 >= r0, rolled, prev)
-    out16 = jnp.where(
-        (_rows((16, LANES)) == 0) & (lanes16 < r0),
-        jnp.broadcast_to(carry, (16, LANES)),
-        out16,
-    )
-    spill = jnp.where(_lanes((1, LANES)) < r0, rolled[15:16, :], jnp.uint32(0))
-    return jnp.concatenate([out16, spill], axis=0)
 
 
 # ---------------------------------------------------------------------------
