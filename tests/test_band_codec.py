@@ -1,0 +1,58 @@
+"""DbdeCodec band-backend coverage on CPU (kernels in interpreter mode)."""
+
+import numpy as np
+import pytest
+import jax
+from jax.experimental import pallas as pl
+
+from dbde_tpu import ref_numpy as ref
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+
+@pytest.fixture()
+def codec():
+    from dbde_tpu.codec import DbdeCodec
+
+    return DbdeCodec(height=40, width=1024, backend="band")
+
+
+def test_band_codec_bytes_parity(codec):
+    from dbde_tpu.codec import pack_frames_bytes
+
+    rng = np.random.default_rng(0)
+    frames = (rng.integers(0, 64, (2, 40, 1024)) + 20).astype(np.uint8)
+    enc = codec.encode(frames)
+    recs = pack_frames_bytes(enc, indices=[5, 6])
+    for b in range(2):
+        assert recs[b][20:] == ref.pack_image(frames[b])
+
+
+def test_band_codec_decode_and_roundtrip(codec):
+    rng = np.random.default_rng(1)
+    frames = (rng.integers(0, 256, (2, 40, 1024)) & rng.integers(0, 256, (2, 40, 1024))).astype(np.uint8)
+    enc = codec.encode(frames)
+    out = codec.decode(enc.depths, enc.mins, enc.payload)
+    np.testing.assert_array_equal(out, frames)
+    out2, n64 = codec.roundtrip(frames)
+    np.testing.assert_array_equal(out2, frames)
+    assert (np.asarray(n64) > 0).all()
+
+
+def test_band_codec_device_array_input(codec):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    frames = (rng.integers(0, 32, (1, 40, 1024)) + 7).astype(np.uint8)
+    enc = codec.encode(jnp.asarray(frames))  # device path: XLA pad + bitcast
+    out = codec.decode(enc.depths, enc.mins, enc.payload)
+    np.testing.assert_array_equal(out, frames)
