@@ -44,7 +44,7 @@ from .kernel_common import (
 )
 
 LANES = 128
-STAGE_ROWS = 160
+STAGE_ROWS = 144  # max window row 127+17, 8-aligned
 
 
 def payload_rows(tp: int) -> int:
@@ -243,20 +243,35 @@ def encode_band_kernel(img32: jnp.ndarray):
 
 
 def _decode_kernel(groups_row, bands, depths_ref, mins_ref, payload_ref, img_ref,
-                   cursor_ref, win_ref, res_ref, rstage_ref, sem):
+                   cursor_ref, win_ref, res_ref, rstage_ref, sems):
     groups = bands * groups_row
     b = pl.program_id(0)
     g = pl.program_id(1)
+    nb = pl.num_programs(1)
+    p = g & 1  # ping-pong read buffer (reads are hazard-free across blocks)
+
+    def read_into(slot, rbase):
+        return pltpu.make_async_copy(
+            payload_ref.at[b, pl.ds(rbase, STAGE_ROWS), :],
+            rstage_ref.at[pl.ds(slot * STAGE_ROWS, STAGE_ROWS), :],
+            sems.at[slot],
+        )
 
     @pl.when(g == 0)
     def _():
         cursor_ref[0] = 0
+        read_into(0, 0).start()
 
     row_base = cursor_ref[0] >> 7
-    dma = pltpu.make_async_copy(
-        payload_ref.at[b, pl.ds(row_base, STAGE_ROWS), :], rstage_ref, sem
-    )
-    dma.start()
+
+    # wait for the read covering this block (issued at g-1, or just above)
+    @pl.when(p == 0)
+    def _():
+        read_into(0, row_base).wait()
+
+    @pl.when(p == 1)
+    def _():
+        read_into(1, row_base).wait()
 
     depth = depths_ref[0].astype(jnp.int32)  # (groups, 128)
     mn = mins_ref[0].astype(jnp.int32)
@@ -266,8 +281,21 @@ def _decode_kernel(groups_row, bands, depths_ref, mins_ref, payload_ref, img_ref
         loffs.append(_exclusive_lane_cumsum(counts))
         totals.append(jnp.sum(counts))
 
-    dma.wait()
+    # the cursor chain needs only the depth sums → prefetch the next block's
+    # stream window while this block expands/unpacks
+    c_end = cursor_ref[0]
+    for s in range(groups):
+        c_end = c_end + totals[s]
 
+    @pl.when((p == 0) & (g + 1 < nb))
+    def _():
+        read_into(1, c_end >> 7).start()
+
+    @pl.when((p == 1) & (g + 1 < nb))
+    def _():
+        read_into(0, c_end >> 7).start()
+
+    base_row = p * STAGE_ROWS
     c = cursor_ref[0]
     for s in range(groups):
         lc = c - (row_base << 7)
@@ -279,7 +307,9 @@ def _decode_kernel(groups_row, bands, depths_ref, mins_ref, payload_ref, img_ref
         src_lane = phys & (LANES - 1)
         win = jnp.zeros((16, LANES), jnp.uint32)
         for rr in range(17):
-            row = jnp.broadcast_to(rstage_ref[pl.ds(lg0 + rr, 1), :], (16, LANES))
+            row = jnp.broadcast_to(
+                rstage_ref[pl.ds(base_row + lg0 + rr, 1), :], (16, LANES)
+            )
             cand = jnp.take_along_axis(row, src_lane, axis=-1)
             win = jnp.where(src_row == rr, cand, win)
         win_ref[:, s, :] = win
@@ -364,8 +394,8 @@ def decode_band_kernel(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndar
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((16, groups, LANES), jnp.uint32),
             pltpu.VMEM((64, groups, LANES), jnp.uint32),
-            pltpu.VMEM((STAGE_ROWS, LANES), jnp.uint32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2 * STAGE_ROWS, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(depths, mins, payload)
