@@ -20,3 +20,22 @@ from .format import (
 )
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "DbdeCodec": ("dbde_tpu.codec", "DbdeCodec"),
+    "EncodedBatch": ("dbde_tpu.codec", "EncodedBatch"),
+    "DbdeReader": ("dbde_tpu.stream", "DbdeReader"),
+    "DbdeWriter": ("dbde_tpu.stream", "DbdeWriter"),
+    "read_video": ("dbde_tpu.stream", "read_video"),
+    "write_video": ("dbde_tpu.stream", "write_video"),
+}
+
+
+def __getattr__(name):
+    """Lazy re-exports: keep `import dbde_tpu` JAX-free for host-only use."""
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'dbde_tpu' has no attribute {name!r}")

@@ -68,6 +68,34 @@ def test_sharded_roundtrip_step_ragged():
     assert int(n64) > 0
 
 
+def test_sharded_encode_to_whole_file():
+    """Full multi-chip → file path: sharded encode, host ragged assembly,
+    whole-file equality with the single-host oracle encoding."""
+    import struct
+
+    from dbde_tpu.format import VideoHeader, FrameHeader
+
+    mesh = make_mesh(n_data=2, n_tiles=2)
+    frames = _frames(B=4, H=8 * 4, W=24, seed=11)
+    H, W = 32, 24
+    depth, mn, payload, totals, bases, Hp = encode_sharded(frames, mesh)
+    payloads = assemble_payload_host(payload, totals)
+    depth, mn = np.asarray(depth), np.asarray(mn)
+    T = depth.shape[1]
+
+    out = [VideoHeader(height=H, width=W, frame_hz=7.0).pack()]
+    for b in range(frames.shape[0]):
+        n64 = int(len(payloads[b]) // 2)
+        out.append(FrameHeader(index=b).pack())
+        out.append(struct.pack("<i", T) + depth[b].tobytes())
+        out.append(struct.pack("<i", T) + mn[b].tobytes())
+        out.append(struct.pack("<i", n64) + payloads[b].tobytes())
+    sharded_file = b"".join(out)
+
+    expected = ref.encode_video(list(frames), frame_hz=7.0)
+    assert sharded_file == expected
+
+
 def test_sharded_matches_global_n64():
     mesh = make_mesh(n_data=1, n_tiles=2)
     frames = _frames(B=2, H=32, W=32, seed=4)
