@@ -71,16 +71,19 @@ def _pack_contributions(res_rows, k: int, j: int):
     return acc
 
 
-def _compact_group(words_ref, depth, s):
+def _compact_group(words_ref, depth, s, loff=None, total=None):
     """Compact group s's 128 tiles → (seg (16,128) u32 stream, total words).
 
-    Exclusive lane-cumsum gives per-tile offsets; a vectorized binary search
-    maps each of the 2048 output word slots to its source tile; a
-    16-candidate gather/select materializes the stream segment.
+    Exclusive lane-cumsum gives per-tile offsets (pass ``loff``/``total``
+    precomputed for all groups at once to avoid per-group thin cumsums);
+    a vectorized binary search maps each of the 2048 output word slots to
+    its source tile; a 16-candidate gather/select materializes the segment.
     """
     counts = 2 * depth[s : s + 1, :]
-    loff = _exclusive_lane_cumsum(counts)
-    total = jnp.sum(counts)
+    if loff is None:
+        loff = _exclusive_lane_cumsum(counts)
+    if total is None:
+        total = jnp.sum(counts)
     q = _rows((16, LANES)) * LANES + _lanes((16, LANES))
     loff_b = jnp.broadcast_to(loff, (16, LANES))
     tile_of = _rightmost_le(loff_b, q)

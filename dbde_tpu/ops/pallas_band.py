@@ -168,9 +168,13 @@ def _encode_kernel(groups_row, bands, img_ref, depths_ref, mins_ref, payload_ref
                 words_ref[j] = jnp.where(sel, _pack_contributions(res, k, j), words_ref[j])
 
     row_base = cursor_ref[0] >> 7
+    loff_all = _exclusive_lane_cumsum(2 * depth)  # all groups at once
+    tot_all = jnp.sum(2 * depth.astype(jnp.int32), axis=-1, keepdims=True)  # (groups,1)
     stage = jnp.zeros((STAGE_ROWS, LANES), jnp.uint32)
     for s in range(groups):
-        seg, total = _compact_group(words_ref, depth, s)
+        seg, total = _compact_group(
+            words_ref, depth, s, loff=loff_all[s : s + 1, :], total=tot_all[s, 0]
+        )
         c = cursor_ref[0]
         lc = c - (row_base << 7)
         win17 = _splice17(seg, carry_ref[...], lc & (LANES - 1))
@@ -275,11 +279,10 @@ def _decode_kernel(groups_row, bands, depths_ref, mins_ref, payload_ref, img_ref
 
     depth = depths_ref[0].astype(jnp.int32)  # (groups, 128)
     mn = mins_ref[0].astype(jnp.int32)
-    loffs, totals = [], []
-    for s in range(groups):
-        counts = 2 * depth[s : s + 1, :]
-        loffs.append(_exclusive_lane_cumsum(counts))
-        totals.append(jnp.sum(counts))
+    loff_all = _exclusive_lane_cumsum(2 * depth)
+    tot_all = jnp.sum(2 * depth, axis=-1, keepdims=True)  # (groups, 1)
+    loffs = [loff_all[s : s + 1, :] for s in range(groups)]
+    totals = [tot_all[s, 0] for s in range(groups)]
 
     # the cursor chain needs only the depth sums → prefetch the next block's
     # stream window while this block expands/unpacks
