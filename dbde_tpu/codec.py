@@ -72,38 +72,52 @@ def _decode_fn(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray, H: 
 # -- band backend (TPU, W % 1024 == 0): kernels read/write image memory -----
 
 
-def _encode_fn_band(img32: jnp.ndarray, T: int):
-    """img32 (B, Hp, W//4) u32 (row-padded) → standard encode outputs."""
+def band_width(width: int) -> int:
+    """Kernel width: next multiple of 1024.  Constant-column pad tiles have
+    depth 0 and emit no payload words, so the byte stream is untouched; the
+    adapters slice the pad entries out of the depth/min grids."""
+    return -(-width // 1024) * 1024
+
+
+def _encode_fn_band(img32: jnp.ndarray, H: int, W: int):
+    """img32 (B, Hp, Wp//4) u32 (row+column padded) → standard encode outputs."""
     from .ops import pallas_band as pb
 
     B = img32.shape[0]
+    h, w = tile_grid(W, H)
+    wpp = band_width(W) // 8
     d3, m3, payload = pb.encode_band_kernel(img32)
     tp = d3.shape[1] * pb.LANES
-    depths = d3.reshape(B, tp)[:, :T]
-    mins = m3.reshape(B, tp)[:, :T]
+    hp = tp // wpp
+    depths = d3.reshape(B, hp, wpp)[:, :h, :w].reshape(B, h * w)
+    mins = m3.reshape(B, hp, wpp)[:, :h, :w].reshape(B, h * w)
     n64 = jnp.sum(depths.astype(jnp.int32), axis=-1)
-    flat = payload.reshape(B, -1)[:, : T * MAX_WORDS_PER_TILE]
+    flat = payload.reshape(B, -1)[:, : h * w * MAX_WORDS_PER_TILE]
     return depths, mins, flat, n64
 
 
 def _decode_fn_band(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray,
                     H: int, W: int):
-    """→ img32 (B, Hp, W//4) u32 (caller slices rows / reinterprets bytes)."""
+    """→ img32 (B, Hp, Wp//4) u32 (caller slices rows/cols, reinterprets bytes)."""
     from .ops import pallas_band as pb
 
     B, T = depths.shape
-    wp = W // 8
-    hp8 = pb.pad_rows(H, W)
-    tp = (hp8 // 8) * wp
+    h, w = tile_grid(W, H)
+    Wp = band_width(W)
+    wpp = Wp // 8
+    hp8 = pb.pad_rows(H, Wp)
+    hp = hp8 // 8
+    tp = hp * wpp
     rows = pb.payload_rows(tp)
-    d = jnp.pad(depths, ((0, 0), (0, tp - T)))
-    m = jnp.pad(mins, ((0, 0), (0, tp - T)))
+    # embed the real (h, w) tile grid into the padded (hp, wpp) grid
+    d = jnp.zeros((B, hp, wpp), jnp.uint8).at[:, :h, :w].set(depths.reshape(B, h, w))
+    m = jnp.zeros((B, hp, wpp), jnp.uint8).at[:, :h, :w].set(mins.reshape(B, h, w))
     p = jnp.pad(payload, ((0, 0), (0, rows * pb.LANES - payload.shape[1])))
     return pb.decode_band_kernel(
         d.reshape(B, tp // pb.LANES, pb.LANES),
         m.reshape(B, tp // pb.LANES, pb.LANES),
         p.reshape(B, rows, pb.LANES),
-        W,
+        Wp,
     )
 
 
@@ -164,15 +178,17 @@ class DbdeCodec:
         if backend == "auto":
             backend = default_backend()
         if backend == "pallas":
-            from .ops import pallas_band as pb
-
-            if pb.band_supported(self.width):
-                backend = "band"  # image-layout kernels: fastest path
+            # image-layout kernels: fastest path.  Any width works via
+            # constant-column padding (depth-0 tiles emit nothing); fall back
+            # to the tile-layout kernels only when the padding overhead would
+            # exceed the ~4x speed advantage.
+            if band_width(self.width) <= 3 * self.width:
+                backend = "band"
         if backend not in ("xla", "pallas", "band"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         if backend == "band":
-            self._encode = jax.jit(partial(_encode_fn_band, T=self.tiles))
+            self._encode = jax.jit(partial(_encode_fn_band, H=self.height, W=self.width))
             self._decode = jax.jit(partial(_decode_fn_band, H=self.height, W=self.width))
             self._roundtrip = jax.jit(self._roundtrip_band)
         else:
@@ -195,24 +211,44 @@ class DbdeCodec:
         return images, single
 
     def _to_img32(self, images):
-        """(B, H, W) u8 → row-padded (B, Hp, W//4) u32 for the band kernels.
+        """(B, H, W) u8 → padded (B, Hp, Wp//4) u32 for the band kernels.
 
-        numpy inputs reinterpret for free on the host; device arrays pay one
-        XLA pad + bitcast.
+        Columns pad to the kernel width: the format's edge rule up to the
+        ragged tile boundary (8*ceil(W/8)), then constant zeros (depth-0 pad
+        tiles).  numpy inputs reinterpret for free on the host; device arrays
+        pay one XLA pad + bitcast.
         """
         from .ops import pallas_band as pb
 
-        hp8 = pb.pad_rows(self.height, self.width)
+        H, W = self.height, self.width
+        h8, w8 = (8 * d for d in tile_grid(W, H))  # format edge-pad boundary
+        Wp = band_width(W)
+        hp8 = pb.pad_rows(H, Wp)
         if isinstance(images, np.ndarray):
             images = np.ascontiguousarray(images)
-            if hp8 != self.height:
-                pad = np.zeros((images.shape[0], hp8 - self.height, self.width), np.uint8)
-                images = np.concatenate([images, pad], axis=1)
+            if w8 != W:  # edge rule: replicate rightward within ragged tiles
+                images = np.concatenate(
+                    [images, np.repeat(images[:, :, -1:], w8 - W, axis=2)], axis=2
+                )
+            if h8 != H:  # edge rule: replicate the last row within ragged tiles
+                images = np.concatenate(
+                    [images, np.repeat(images[:, -1:, :], h8 - H, axis=1)], axis=1
+                )
+            if Wp != w8:  # constant pad tiles beyond the real grid: no payload
+                images = np.concatenate(
+                    [images, np.zeros((images.shape[0], h8, Wp - w8), np.uint8)], axis=2
+                )
+            if hp8 != h8:
+                images = np.concatenate(
+                    [images, np.zeros((images.shape[0], hp8 - h8, Wp), np.uint8)], axis=1
+                )
             return jnp.asarray(images.view(np.uint32))
         images = jnp.asarray(images, jnp.uint8)
-        if hp8 != self.height:
-            images = jnp.pad(images, ((0, 0), (0, hp8 - self.height), (0, 0)))
-        x4 = images.reshape(images.shape[0], hp8, self.width // 4, 4)
+        if w8 != W or h8 != H:
+            images = jnp.pad(images, ((0, 0), (0, h8 - H), (0, w8 - W)), mode="edge")
+        if Wp != w8 or hp8 != h8:
+            images = jnp.pad(images, ((0, 0), (0, hp8 - h8), (0, Wp - w8)))
+        x4 = images.reshape(images.shape[0], hp8, Wp // 4, 4)
         return jax.lax.bitcast_convert_type(x4, jnp.uint32)
 
     def encode(self, images) -> EncodedBatch:
@@ -245,7 +281,7 @@ class DbdeCodec:
         return out, n64
 
     def _roundtrip_band(self, img32):
-        depths, mins, payload, n64 = _encode_fn_band(img32, self.tiles)
+        depths, mins, payload, n64 = _encode_fn_band(img32, self.height, self.width)
         out32 = _decode_fn_band(depths, mins, payload, self.height, self.width)
         return out32, n64
 

@@ -48,6 +48,24 @@ def test_band_codec_decode_and_roundtrip(codec):
     assert (np.asarray(n64) > 0).all()
 
 
+@pytest.mark.parametrize("geom", [(21, 76), (40, 1000)])
+def test_band_codec_arbitrary_width(geom):
+    """Non-multiple-of-1024 widths ride the band kernels via constant-column
+    pad tiles (depth 0, zero payload words); bytes stay identical."""
+    from dbde_tpu.codec import DbdeCodec, pack_frames_bytes
+
+    H, W = geom
+    rng = np.random.default_rng(3)
+    frames = (rng.integers(0, 256, (2, H, W)) & rng.integers(0, 256, (2, H, W))).astype(np.uint8)
+    codec = DbdeCodec(height=H, width=W, backend="band")
+    enc = codec.encode(frames)
+    recs = pack_frames_bytes(enc)
+    for b in range(2):
+        assert recs[b][20:] == ref.pack_image(frames[b])
+    out = codec.decode(enc.depths, enc.mins, enc.payload)
+    np.testing.assert_array_equal(out, frames)
+
+
 def test_band_codec_device_array_input(codec):
     import jax.numpy as jnp
 
