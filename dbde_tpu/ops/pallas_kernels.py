@@ -1,45 +1,22 @@
-"""Fused Pallas TPU kernels: DBDE tile pack+compact and expand+unpack.
+"""Experimental v4 Pallas kernels: u32-packed tile IO + one-DMA-per-block.
 
-Why these exist: XLA lowers the codec's data-dependent gathers (payload
-compaction / window expansion) to *serial* per-element loops on TPU — measured
-~139 ms for a 4×2048² roundtrip, ~1000× off speed-of-light.  These kernels
-re-express the whole hot path in vector-unit-native form:
+Differences from the stable kernels (pallas_kernels.py):
+  * tiles cross the kernel boundary as u32 words packing 4 pixels
+    (``tiles_W`` layout, (B, 16, Tp)): u8 arrays DMA ~10x slower than u32 on
+    this TPU runtime (they live in (32,128)-packed VMEM tiling), and the XLA
+    u8 tile transposes dominated the end-to-end time.  Pixels are extracted /
+    re-packed with in-register byte shifts.
+  * the whole 1024-tile block's payload stream is assembled in one (160,128)
+    VMEM staging VALUE via dynamic sublane rolls + OR accumulation (group
+    windows only ever OR over zeros or identical carry lanes), then moved
+    with a single 80KB DMA — the stable kernel's 8 small DMAs per block were
+    ~1.1us each of latency.
+  * the decode unpack is depth-predicated through a scratch ref (blocks only
+    pay for bit-depths present).
 
-  * tiles live in a transposed pixel-major layout (64, T): pixel i of every
-    tile is one (8, 128) vector row → min/max/depth/pack are straight VPU ops
-    across 1024 tiles per grid step;
-  * the payload stream is built 128 tiles at a time: an exclusive lane-cumsum
-    gives in-group offsets, a 7-step vectorized binary search (lane gathers
-    stay inside one 128-lane group — the TPU's gather limit) maps each output
-    word to its source tile, and a 16-candidate gather/select materializes the
-    2048-word segment;
-  * segments are spliced into the byte stream with a dynamic lane roll and a
-    one-row carry register, so every HBM transfer is an aligned (24, 128) DMA
-    at a dynamic row offset.  DMAs are double-buffered: group s's transfer
-    overlaps group s+1's compute (encode), and decode issues all 8 group
-    reads up-front since the cursor chain only needs the depth array.
-    The TPU grid is sequential, which makes the word cursor a simple SMEM
-    scratch — the reference's serial ``target += depth*8`` cursor
-    (dbde_util.cpp:155) survives, but as one scalar add per 128 tiles
-    instead of per tile;
-  * per-depth work (9 static bit-width variants) is predicated with
-    ``@pl.when(any(depth==k))``, so blocks only pay for depths present.
-
-Layouts
-  tiles_T : (B, 64, Tp) u8        pixel-major tiles, Tp = ceil(T/1024)*1024
-  depths  : (B, Tp//128, 128) u8  per-tile bit depths (row-major == file order)
-  mins    : (B, Tp//128, 128) u8  per-tile minima
-  payload : (B, R, 128) u32       flat word stream row-major; R = Tp//8 + 32
-                                  (slack rows for the 24-row splice windows)
-
-Payload positions past the true stream length (2*n64 words) contain garbage,
-not zeros — consumers slice by n64 (the file format does too).
-
-Mosaic driver gotchas learned the hard way (each wedges the TPU runtime):
-  * DMA staging shapes must be 8-row aligned — (17, 128) copies crash;
-  * dynamic-offset *multi-row* VMEM stores (``ref[pl.ds(i, 16)] = v``) hang;
-    single-row dynamic reads are fine.  Hence the fixed-position staging
-    buffers + per-group DMAs here instead of one block-level splice.
+tiles_W word layout: word ww = 2*r + hx of tile t packs pixels
+(r, 4*hx .. 4*hx+3) little-endian — i.e. the tile's row bytes in image
+order, so ``image.view(u32)`` transforms are pure u32 reshapes/transposes.
 """
 
 from __future__ import annotations
@@ -50,22 +27,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .kernel_common import (
+    _compact_group,
     _exclusive_lane_cumsum,
     _lanes,
     _pack_contributions,
     _rightmost_le,
     _rows,
+    _splice17,
 )
 
-TILES_BLOCK = 1024  # tiles per grid step = 8 sublane-groups x 128 lanes
+TILES_BLOCK = 1024
 GROUPS = 8
 LANES = 128
-SEG_ROWS = 17  # 16 segment rows + 1 spill row (logical window)
-STAGE_ROWS = 24  # staging/DMA rows: 8-aligned superset of the window
+STAGE_ROWS = 160  # 129 data rows + window slack, 8-aligned
 
 
 def payload_rows(tp: int) -> int:
-    """HBM payload rows for Tp tiles (worst case 16 words/tile + splice slack)."""
     return tp * 16 // LANES + STAGE_ROWS + 8
 
 
@@ -78,52 +55,27 @@ def pad_tiles(t: int) -> int:
 
 
 
-def _compact_group(words_ref, depth, s):
-    """Compact group s's 128 tiles → (seg (16,128) u32, total words)."""
-    counts = 2 * depth[s : s + 1, :]  # (1, 128)
-    loff = _exclusive_lane_cumsum(counts)
-    total = jnp.sum(counts)
-
-    q = _rows((16, LANES)) * LANES + _lanes((16, LANES))
-    loff_b = jnp.broadcast_to(loff, (16, LANES))
-    tile_of = _rightmost_le(loff_b, q)
-    within = jnp.minimum(q - jnp.take_along_axis(loff_b, tile_of, axis=-1), 15)
-
-    seg = jnp.zeros((16, LANES), jnp.uint32)
-    for jj in range(16):
-        row = jnp.broadcast_to(words_ref[jj][s : s + 1, :], (16, LANES))
-        cand = jnp.take_along_axis(row, tile_of, axis=-1)
-        seg = jnp.where(within == jj, cand, seg)
-    return seg, total
+def _extract_pixels(x32):
+    """x32 (16, G, 128) u32 tiles_W block → 64 pixel arrays (G,128) i32."""
+    out = []
+    for i in range(64):
+        r, cc = i >> 3, i & 7
+        word = x32[2 * r + (cc >> 2)]
+        b = cc & 3
+        v = word >> (8 * b) if b else word
+        out.append((v & jnp.uint32(0xFF)).astype(jnp.int32))
+    return out
 
 
-def _splice(seg, carry, r0):
-    """Align a 2048-word segment to lane offset r0 with a carry first row.
-
-    Returns (out16 (16,128), spill (1,128)) — the 17-row window to land at
-    payload row ``cursor >> 7``.
-    """
-    rolled = pltpu.roll(seg, r0, 1)
-    prev = pltpu.roll(rolled, 1, 0)  # row r -> rolled[r-1]
-    lanes16 = _lanes((16, LANES))
-    out16 = jnp.where(lanes16 >= r0, rolled, prev)
-    out16 = jnp.where(
-        (_rows((16, LANES)) == 0) & (lanes16 < r0),
-        jnp.broadcast_to(carry, (16, LANES)),
-        out16,
-    )
-    spill = jnp.where(_lanes((1, LANES)) < r0, rolled[15:16, :], jnp.uint32(0))
-    return out16, spill
 
 
 # ---------------------------------------------------------------------------
-# encode kernel
+# encode
 # ---------------------------------------------------------------------------
 
 
 def _encode_kernel(tiles_ref, depths_ref, mins_ref, payload_ref,
-                   cursor_ref, carry_ref, words_ref, stage0_ref, stage1_ref,
-                   sem0, sem1):
+                   cursor_ref, carry_ref, words_ref, stage_ref, sem):
     b = pl.program_id(0)
     g = pl.program_id(1)
 
@@ -132,14 +84,18 @@ def _encode_kernel(tiles_ref, depths_ref, mins_ref, payload_ref,
         cursor_ref[0] = 0
         carry_ref[...] = jnp.zeros((1, LANES), jnp.uint32)
 
-    x = tiles_ref[0].reshape(64, GROUPS, LANES).astype(jnp.int32)
-    mn = x.min(axis=0)  # (8, 128)
-    mx = x.max(axis=0)
+    x32 = tiles_ref[0].reshape(16, GROUPS, LANES)
+    pix = _extract_pixels(x32)  # 64 x (G,128) i32
+    mn = pix[0]
+    mx = pix[0]
+    for i in range(1, 64):
+        mn = jnp.minimum(mn, pix[i])
+        mx = jnp.maximum(mx, pix[i])
     rng = mx - mn
     depth = jnp.zeros((GROUPS, LANES), jnp.int32)
     for i in range(8):
         depth += (rng > (1 << i) - 1).astype(jnp.int32)
-    res = [(x[i] - mn).astype(jnp.uint32) for i in range(64)]
+    res = [(pix[i] - mn).astype(jnp.uint32) for i in range(64)]
 
     depths_ref[...] = depth.astype(jnp.uint8).reshape(1, GROUPS, LANES)
     mins_ref[...] = mn.astype(jnp.uint8).reshape(1, GROUPS, LANES)
@@ -153,54 +109,50 @@ def _encode_kernel(tiles_ref, depths_ref, mins_ref, payload_ref,
             for j in range(2 * k):
                 words_ref[j] = jnp.where(sel, _pack_contributions(res, k, j), words_ref[j])
 
-    # ---- per-group compaction + splice, with double-buffered DMAs:
-    # group s's transfer overlaps group s+1's compute; waits are deferred
-    # one step so destination writes stay ordered (overlapping boundary rows).
-    stages = (stage0_ref, stage1_ref)
-    sems = (sem0, sem1)
-    dmas = [None, None]
+    # ---- assemble the whole block's stream in one staging value ----
+    row_base = cursor_ref[0] >> 7
+    stage = jnp.zeros((STAGE_ROWS, LANES), jnp.uint32)
     for s in range(GROUPS):
         seg, total = _compact_group(words_ref, depth, s)
         c = cursor_ref[0]
-        r0 = c & (LANES - 1)
-        row0 = c >> 7
-        stage, sem = stages[s & 1], sems[s & 1]
-        # buffer s&1 was last used by group s-2, whose DMA completed before
-        # group s-1's started (sequential wait chain below)
-        out16, spill = _splice(seg, carry_ref[...], r0)
-        stage[:16] = out16
-        stage[16:17] = spill
+        lc = c - (row_base << 7)
+        win17 = _splice17(seg, carry_ref[...], lc & (LANES - 1))
+        pad = jnp.concatenate(
+            [win17, jnp.zeros((STAGE_ROWS - 17, LANES), jnp.uint32)], axis=0
+        )
+        stage = stage | pltpu.roll(pad, lc >> 7, 0)
 
-        c_new = c + total
-        ri = (c_new >> 7) - row0  # 0..16: staging row of the new partial tail
+        # new carry = low lanes of the (lc+total) partial row; row index is
+        # dynamic, so pick it out of the window with a sublane roll to row 0
+        lc_new = lc + total
+        ri = (lc_new >> 7) - (lc >> 7)  # 0..16 within win17
+        win24 = jnp.concatenate([win17, jnp.zeros((7, LANES), jnp.uint32)], axis=0)
+        top = pltpu.roll(win24, (24 - ri) % 24, 0)[0:1, :]
         carry_ref[...] = jnp.where(
-            _lanes((1, LANES)) < (c_new & (LANES - 1)),
-            stage[pl.ds(ri, 1), :],
-            jnp.uint32(0),
+            _lanes((1, LANES)) < (lc_new & (LANES - 1)), top, jnp.uint32(0)
         )
-        if s > 0:
-            dmas[(s - 1) & 1].wait()
-        dma = pltpu.make_async_copy(
-            stage, payload_ref.at[b, pl.ds(row0, STAGE_ROWS), :], sem
-        )
-        dma.start()
-        dmas[s & 1] = dma
-        cursor_ref[0] = c_new
-    dmas[(GROUPS - 1) & 1].wait()
+        cursor_ref[0] = c + total
+
+    stage_ref[...] = stage
+    dma = pltpu.make_async_copy(
+        stage_ref, payload_ref.at[b, pl.ds(row_base, STAGE_ROWS), :], sem
+    )
+    dma.start()
+    dma.wait()
 
 
-def encode_tiles_kernel(tiles_t: jnp.ndarray):
-    """tiles_T (B, 64, Tp) u8 → (depths (B,Tp//128,128) u8,
+def encode_tiles_kernel(tiles_w: jnp.ndarray):
+    """tiles_W (B, 16, Tp) u32 → (depths (B,Tp//128,128) u8,
     mins (B,Tp//128,128) u8, payload (B, R, 128) u32)."""
-    B, sixty_four, tp = tiles_t.shape
-    assert sixty_four == 64 and tp % TILES_BLOCK == 0
+    B, sixteen, tp = tiles_w.shape
+    assert sixteen == 16 and tp % TILES_BLOCK == 0
     nb = tp // TILES_BLOCK
     rows = payload_rows(tp)
     return pl.pallas_call(
         _encode_kernel,
         grid=(B, nb),
         in_specs=[
-            pl.BlockSpec((1, 64, TILES_BLOCK), lambda b, g: (b, 0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, TILES_BLOCK), lambda b, g: (b, 0, g), memory_space=pltpu.VMEM),
         ],
         out_shape=(
             jax.ShapeDtypeStruct((B, tp // LANES, LANES), jnp.uint8),
@@ -217,21 +169,19 @@ def encode_tiles_kernel(tiles_t: jnp.ndarray):
             pltpu.VMEM((1, LANES), jnp.uint32),
             pltpu.VMEM((16, GROUPS, LANES), jnp.uint32),
             pltpu.VMEM((STAGE_ROWS, LANES), jnp.uint32),
-            pltpu.VMEM((STAGE_ROWS, LANES), jnp.uint32),
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tiles_t)
+    )(tiles_w)
 
 
 # ---------------------------------------------------------------------------
-# decode kernel
+# decode
 # ---------------------------------------------------------------------------
 
 
 def _decode_kernel(depths_ref, mins_ref, payload_ref, tiles_ref,
-                   cursor_ref, win_ref, rstage_ref, sems):
+                   cursor_ref, win_ref, res_ref, rstage_ref, sem):
     b = pl.program_id(0)
     g = pl.program_id(1)
 
@@ -239,65 +189,75 @@ def _decode_kernel(depths_ref, mins_ref, payload_ref, tiles_ref,
     def _():
         cursor_ref[0] = 0
 
+    # start the block's single stream read first; overlap with offset math
+    row_base = cursor_ref[0] >> 7
+    dma = pltpu.make_async_copy(
+        payload_ref.at[b, pl.ds(row_base, STAGE_ROWS), :], rstage_ref, sem
+    )
+    dma.start()
+
     depth = depths_ref[0].astype(jnp.int32)  # (8, 128)
     mn = mins_ref[0].astype(jnp.int32)
 
-    # the cursor chain needs only the depth sums → issue ALL group reads now
-    totals = [jnp.sum(2 * depth[s : s + 1, :]) for s in range(GROUPS)]
-    cs = []
-    c = cursor_ref[0]
-    for s in range(GROUPS):
-        cs.append(c)
-        c = c + totals[s]
-    cursor_ref[0] = c
-
-    dmas = []
-    for s in range(GROUPS):
-        dma = pltpu.make_async_copy(
-            payload_ref.at[b, pl.ds(cs[s] >> 7, STAGE_ROWS), :],
-            rstage_ref.at[s],
-            sems.at[s],
-        )
-        dma.start()
-        dmas.append(dma)
-
-    # ---- per-group expansion from the fetched windows ----
+    loffs, totals = [], []
     for s in range(GROUPS):
         counts = 2 * depth[s : s + 1, :]
-        loff = _exclusive_lane_cumsum(counts)
-        dmas[s].wait()
-        r0 = cs[s] & (LANES - 1)
-        loff_b = jnp.broadcast_to(loff, (16, LANES))
-        phys = loff_b + _rows((16, LANES)) + r0  # window word (j,t) position
+        loffs.append(_exclusive_lane_cumsum(counts))
+        totals.append(jnp.sum(counts))
+
+    dma.wait()
+
+    c = cursor_ref[0]
+    for s in range(GROUPS):
+        lc = c - (row_base << 7)
+        r0 = lc & (LANES - 1)
+        lg0 = lc >> 7
+        loff_b = jnp.broadcast_to(loffs[s], (16, LANES))
+        phys = loff_b + _rows((16, LANES)) + r0
         src_row = phys >> 7  # 0..16
         src_lane = phys & (LANES - 1)
         win = jnp.zeros((16, LANES), jnp.uint32)
-        for rr in range(SEG_ROWS):
-            row = jnp.broadcast_to(rstage_ref[s, rr : rr + 1, :], (16, LANES))
+        for rr in range(17):
+            row = jnp.broadcast_to(rstage_ref[pl.ds(lg0 + rr, 1), :], (16, LANES))
             cand = jnp.take_along_axis(row, src_lane, axis=-1)
             win = jnp.where(src_row == rr, cand, win)
         win_ref[:, s, :] = win
+        c = c + totals[s]
+    cursor_ref[0] = c
 
-    # ---- vectorized unpack across all 8 groups at once ----
-    res = [jnp.zeros((GROUPS, LANES), jnp.uint32) for _ in range(64)]
+    # ---- depth-predicated unpack across all 8 groups ----
+    for i in range(64):
+        res_ref[i] = jnp.zeros((GROUPS, LANES), jnp.uint32)
     for k in range(1, 9):
-        sel = depth == k
-        mask = jnp.uint32((1 << k) - 1)
-        for i in range(64):
-            bit = i * k
-            j, sh = bit >> 5, bit & 31
-            v = win_ref[j] >> sh
-            if sh + k > 32:
-                v = v | (win_ref[j + 1] << (32 - sh))
-            res[i] = jnp.where(sel, v & mask, res[i])
+        @pl.when(jnp.any(depth == k))
+        def _(k=k):
+            sel = depth == k
+            mask = jnp.uint32((1 << k) - 1)
+            for i in range(64):
+                bit = i * k
+                j, sh = bit >> 5, bit & 31
+                v = win_ref[j] >> sh
+                if sh + k > 32:
+                    v = v | (win_ref[j + 1] << (32 - sh))
+                res_ref[i] = jnp.where(sel, v & mask, res_ref[i])
 
-    out = jnp.stack([(res[i].astype(jnp.int32) + mn).astype(jnp.uint8) for i in range(64)], axis=0)
-    tiles_ref[...] = out.reshape(1, 64, TILES_BLOCK)
+    # ---- re-pack pixels into tiles_W u32 words ----
+    mn_u = mn.astype(jnp.uint32)
+    out_rows = []
+    for ww in range(16):
+        r, hx = ww >> 1, ww & 1
+        base = 8 * r + 4 * hx
+        w = (res_ref[base] + mn_u)
+        w = w | ((res_ref[base + 1] + mn_u) << 8)
+        w = w | ((res_ref[base + 2] + mn_u) << 16)
+        w = w | ((res_ref[base + 3] + mn_u) << 24)
+        out_rows.append(w)
+    tiles_ref[...] = jnp.stack(out_rows, axis=0).reshape(1, 16, TILES_BLOCK)
 
 
 def decode_tiles_kernel(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray):
-    """(depths (B,Tp//128,128) u8, mins (B,Tp//128,128) u8, payload
-    (B,R,128) u32) → tiles_T (B, 64, Tp) u8."""
+    """(depths (B,Tp//128,128) u8, mins, payload (B,R,128) u32)
+    → tiles_W (B, 16, Tp) u32."""
     B, rows8, _ = depths.shape
     tp = rows8 * LANES
     assert tp % TILES_BLOCK == 0
@@ -310,13 +270,48 @@ def decode_tiles_kernel(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.nda
             pl.BlockSpec((1, GROUPS, LANES), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_shape=jax.ShapeDtypeStruct((B, 64, tp), jnp.uint8),
-        out_specs=pl.BlockSpec((1, 64, TILES_BLOCK), lambda b, g: (b, 0, g), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 16, tp), jnp.uint32),
+        out_specs=pl.BlockSpec((1, 16, TILES_BLOCK), lambda b, g: (b, 0, g), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((16, GROUPS, LANES), jnp.uint32),
-            pltpu.VMEM((GROUPS, STAGE_ROWS, LANES), jnp.uint32),
-            pltpu.SemaphoreType.DMA((GROUPS,)),
+            pltpu.VMEM((64, GROUPS, LANES), jnp.uint32),
+            pltpu.VMEM((STAGE_ROWS, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(depths, mins, payload)
+
+
+# ---------------------------------------------------------------------------
+# XLA-side u32 tile transforms
+# ---------------------------------------------------------------------------
+
+
+def image_to_tiles_w(images: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) u8 frames → tiles_W (B, 16, Tp) u32 (pure u32 transposes
+    after one bitcast; edge padding per the format rule)."""
+    from ..format import tile_grid
+    from ..ops.tiling import pad_and_tile  # noqa: F401 (edge rule reference)
+
+    B, H, W = images.shape
+    h, w = tile_grid(W, H)
+    padded = jnp.pad(images, ((0, 0), (0, 8 * h - H), (0, 8 * w - W)), mode="edge")
+    x = padded.reshape(B, h, 8, w, 2, 4)
+    x32 = jax.lax.bitcast_convert_type(x, jnp.uint32)  # (B,h,8,w,2)
+    tw = x32.transpose(0, 2, 4, 1, 3).reshape(B, 16, h * w)
+    tp = pad_tiles(h * w)
+    if tp != h * w:
+        tw = jnp.pad(tw, ((0, 0), (0, 0), (0, tp - h * w)))
+    return tw
+
+
+def tiles_w_to_image(tw: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """tiles_W (B, 16, Tp) u32 → (B, H, W) u8 frames."""
+    from ..format import tile_grid
+
+    B = tw.shape[0]
+    h, w = tile_grid(W, H)
+    x32 = tw[:, :, : h * w].reshape(B, 8, 2, h, w).transpose(0, 3, 1, 4, 2)
+    x = jax.lax.bitcast_convert_type(x32, jnp.uint8)  # (B,h,8,w,2,4)
+    return x.reshape(B, 8 * h, 8 * w)[:, :H, :W]
