@@ -50,7 +50,7 @@ class EncodedBatch:
 
     depths: jax.Array  # (B, T) u8
     mins: jax.Array  # (B, T) u8
-    payload: jax.Array  # (B, 16*T) u32, zero-padded past 2*n64
+    payload: jax.Array  # (B, 16*T) u32; contents past 2*n64 are unspecified
     n64: jax.Array  # (B,) i32 — number of payload u64 words per frame
 
 
@@ -98,7 +98,10 @@ def _encode_fn_band(img32: jnp.ndarray, H: int, W: int):
 
 def _decode_fn_band(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray,
                     H: int, W: int):
-    """→ img32 (B, Hp, Wp//4) u32 (caller slices rows/cols, reinterprets bytes)."""
+    """→ img32 (B, H, ceil(W/4)) u32 (caller reinterprets bytes, trims ≤3 cols).
+
+    Pad rows and whole pad u32 columns are sliced off on device so the
+    host transfer carries (almost) only real pixels."""
     from .ops import pallas_band as pb
 
     B, T = depths.shape
@@ -113,12 +116,13 @@ def _decode_fn_band(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray
     d = jnp.zeros((B, hp, wpp), jnp.uint8).at[:, :h, :w].set(depths.reshape(B, h, w))
     m = jnp.zeros((B, hp, wpp), jnp.uint8).at[:, :h, :w].set(mins.reshape(B, h, w))
     p = jnp.pad(payload, ((0, 0), (0, rows * pb.LANES - payload.shape[1])))
-    return pb.decode_band_kernel(
+    img32 = pb.decode_band_kernel(
         d.reshape(B, tp // pb.LANES, pb.LANES),
         m.reshape(B, tp // pb.LANES, pb.LANES),
         p.reshape(B, rows, pb.LANES),
         Wp,
     )
+    return img32[:, :H, : -(-W // 4)]
 
 
 # -- Pallas-kernel backend (TPU): same contract, fused vector kernels --------
@@ -131,11 +135,8 @@ def _encode_fn_pallas(images: jnp.ndarray):
     h, w = tile_grid(W, H)
     T = h * w
     tp = pk.pad_tiles(T)
-    tiles = pad_and_tile(images)  # (B, T, 64)
-    tiles_t = jnp.swapaxes(tiles, -1, -2)  # (B, 64, T) pixel-major
-    if tp != T:
-        tiles_t = jnp.pad(tiles_t, ((0, 0), (0, 0), (0, tp - T)))
-    d3, m3, payload = pk.encode_tiles_kernel(tiles_t)
+    tiles_w = pk.image_to_tiles_w(images)  # (B, 16, Tp) u32
+    d3, m3, payload = pk.encode_tiles_kernel(tiles_w)
     depths = d3.reshape(B, tp)[:, :T]
     mins = m3.reshape(B, tp)[:, :T]
     n64 = jnp.sum(depths.astype(jnp.int32), axis=-1)
@@ -152,13 +153,12 @@ def _decode_fn_pallas(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarr
     d = depths if tp == T else jnp.pad(depths, ((0, 0), (0, tp - T)))
     m = mins if tp == T else jnp.pad(mins, ((0, 0), (0, tp - T)))
     p = jnp.pad(payload, ((0, 0), (0, rows * pk.LANES - payload.shape[1])))
-    tiles_t = pk.decode_tiles_kernel(
+    tiles_w = pk.decode_tiles_kernel(
         d.reshape(B, tp // pk.LANES, pk.LANES),
         m.reshape(B, tp // pk.LANES, pk.LANES),
         p.reshape(B, rows, pk.LANES),
     )
-    tiles = jnp.swapaxes(tiles_t[:, :, :T], -1, -2)
-    return untile(tiles, H, W)
+    return pk.tiles_w_to_image(tiles_w, H, W)
 
 
 class DbdeCodec:
@@ -254,9 +254,16 @@ class DbdeCodec:
     def encode(self, images) -> EncodedBatch:
         """(B, H, W) or (H, W) u8 frames → :class:`EncodedBatch`."""
         if self.backend == "band":
-            if isinstance(images, np.ndarray) and images.ndim == 2:
-                images = images[None]
-            if not isinstance(images, np.ndarray):
+            if isinstance(images, np.ndarray):
+                images = np.asarray(images, dtype=np.uint8)
+                if images.ndim == 2:
+                    images = images[None]
+                if images.shape[-2:] != (self.height, self.width):
+                    raise ValueError(
+                        f"expected frames of shape (*, {self.height}, "
+                        f"{self.width}), got {images.shape}"
+                    )
+            else:
                 images, _ = self._check(images)
             depths, mins, payload, n64 = self._encode(self._to_img32(images))
         else:
@@ -264,16 +271,26 @@ class DbdeCodec:
             depths, mins, payload, n64 = self._encode(images)
         return EncodedBatch(depths=depths, mins=mins, payload=payload, n64=n64)
 
-    def decode(self, depths, mins, payload):
-        """Encoded arrays → (B, H, W) u8 frames (numpy for the band backend)."""
-        out = self._decode(
+    def decode_dispatch(self, depths, mins, payload):
+        """Launch the device decode without blocking; returns a pending handle
+        for :meth:`materialize` (the async half of :meth:`decode` — lets a
+        streaming pipeline overlap host parsing with device compute)."""
+        return self._decode(
             jnp.asarray(depths, jnp.uint8),
             jnp.asarray(mins, jnp.uint8),
             jnp.asarray(payload, jnp.uint32),
         )
+
+    def materialize(self, pending) -> np.ndarray:
+        """Pending decode handle → (B, H, W) u8 numpy (blocks on the device)."""
         if self.backend == "band":
-            return np.asarray(out).view(np.uint8)[:, : self.height, : self.width]
-        return out
+            # device output is (B, H, ceil(W/4)) u32: free byte view + col trim
+            return np.asarray(pending).view(np.uint8)[:, :, : self.width]
+        return np.asarray(pending)
+
+    def decode(self, depths, mins, payload) -> np.ndarray:
+        """Encoded arrays → (B, H, W) u8 numpy frames (same on every backend)."""
+        return self.materialize(self.decode_dispatch(depths, mins, payload))
 
     def _roundtrip_fn(self, images):
         depths, mins, payload, n64 = self._encode_impl(images)

@@ -17,7 +17,7 @@ pallas_kernels.py.
 
 Everything else (per-depth predicated pack, lane-cumsum offsets, vectorized
 binary-search compaction, roll-spliced staging with one DMA per block and an
-SMEM cursor) matches pallas_kernels_x.py; see that module and
+SMEM cursor) matches pallas_kernels.py; see that module and
 dbde_util.cpp:137-180/291-328 for the format semantics being reproduced.
 
 Image arrays cross the boundary as u32 (4 packed pixels): u8 arrays are
@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .kernel_common import (
-    _compact_group,
+    _compact_group_pairs,
     _exclusive_lane_cumsum,
     _lanes,
     _pack_contributions,
@@ -45,6 +45,11 @@ from .kernel_common import (
 
 LANES = 128
 STAGE_ROWS = 144  # max window row 127+17, 8-aligned
+GROUPS_PER_STAGE = 8  # lane-groups per stage flush: 8*16 payload rows + a
+# 17-row splice window fit in STAGE_ROWS; wider grids (groups > 8, e.g. any
+# padded width 3072) run several stage flushes per grid block — without the
+# chunking, pltpu.roll wraps modulo STAGE_ROWS and later groups OR-corrupt
+# earlier payload rows.
 
 
 def payload_rows(tp: int) -> int:
@@ -167,42 +172,48 @@ def _encode_kernel(groups_row, bands, img_ref, depths_ref, mins_ref, payload_ref
             for j in range(2 * k):
                 words_ref[j] = jnp.where(sel, _pack_contributions(res, k, j), words_ref[j])
 
-    row_base = cursor_ref[0] >> 7
-    loff_all = _exclusive_lane_cumsum(2 * depth)  # all groups at once
+    ploff_all = _exclusive_lane_cumsum(depth)  # pair offsets, all groups at once
     tot_all = jnp.sum(2 * depth.astype(jnp.int32), axis=-1, keepdims=True)  # (groups,1)
-    stage = jnp.zeros((STAGE_ROWS, LANES), jnp.uint32)
-    for s in range(groups):
-        seg, total = _compact_group(
-            words_ref, depth, s, loff=loff_all[s : s + 1, :], total=tot_all[s, 0]
+    for c0 in range(0, groups, GROUPS_PER_STAGE):
+        row_base = cursor_ref[0] >> 7
+        stage = jnp.zeros((STAGE_ROWS, LANES), jnp.uint32)
+        for s in range(c0, min(c0 + GROUPS_PER_STAGE, groups)):
+            seg, total = _compact_group_pairs(
+                words_ref, depth, s, ploff_all[s : s + 1, :], tot_all[s, 0]
+            )
+            c = cursor_ref[0]
+            lc = c - (row_base << 7)
+            win17 = _splice17(seg, carry_ref[...], lc & (LANES - 1))
+            pad = jnp.concatenate(
+                [win17, jnp.zeros((STAGE_ROWS - 17, LANES), jnp.uint32)], axis=0
+            )
+            stage = stage | pltpu.roll(pad, lc >> 7, 0)
+
+            lc_new = lc + total
+            ri = (lc_new >> 7) - (lc >> 7)
+            win24 = jnp.concatenate([win17, jnp.zeros((7, LANES), jnp.uint32)], axis=0)
+            top = pltpu.roll(win24, (24 - ri) % 24, 0)[0:1, :]
+            carry_ref[...] = jnp.where(
+                _lanes((1, LANES)) < (lc_new & (LANES - 1)), top, jnp.uint32(0)
+            )
+            cursor_ref[0] = c + total
+
+        # flush: the partial last row is re-written (with the carry spliced in)
+        # by the next chunk's/block's DMA, so chunk overlap is harmless
+        stage_ref[...] = stage
+        dma = pltpu.make_async_copy(
+            stage_ref, payload_ref.at[b, pl.ds(row_base, STAGE_ROWS), :], sem
         )
-        c = cursor_ref[0]
-        lc = c - (row_base << 7)
-        win17 = _splice17(seg, carry_ref[...], lc & (LANES - 1))
-        pad = jnp.concatenate(
-            [win17, jnp.zeros((STAGE_ROWS - 17, LANES), jnp.uint32)], axis=0
-        )
-        stage = stage | pltpu.roll(pad, lc >> 7, 0)
-
-        lc_new = lc + total
-        ri = (lc_new >> 7) - (lc >> 7)
-        win24 = jnp.concatenate([win17, jnp.zeros((7, LANES), jnp.uint32)], axis=0)
-        top = pltpu.roll(win24, (24 - ri) % 24, 0)[0:1, :]
-        carry_ref[...] = jnp.where(
-            _lanes((1, LANES)) < (lc_new & (LANES - 1)), top, jnp.uint32(0)
-        )
-        cursor_ref[0] = c + total
-
-    stage_ref[...] = stage
-    dma = pltpu.make_async_copy(
-        stage_ref, payload_ref.at[b, pl.ds(row_base, STAGE_ROWS), :], sem
-    )
-    dma.start()
-    dma.wait()
+        dma.start()
+        dma.wait()
 
 
-def encode_band_kernel(img32: jnp.ndarray):
+def encode_band_kernel(img32: jnp.ndarray, interpret: bool = False):
     """img32 (B, Hp, W//4) u32 [Hp % 32 == 0, W % 1024 == 0] →
-    (depths (B, Tp//128, 128) u8, mins, payload (B, R, 128) u32)."""
+    (depths (B, Tp//128, 128) u8, mins, payload (B, R, 128) u32).
+
+    ``interpret`` runs the kernel in Pallas interpreter mode (CPU) — used by
+    the sharded codec on virtual device meshes."""
     B, hp8, wq = img32.shape
     W = wq * 4
     bands = n_bands(W)
@@ -238,6 +249,7 @@ def encode_band_kernel(img32: jnp.ndarray):
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(img32)
 
 
@@ -252,7 +264,6 @@ def _decode_kernel(groups_row, bands, depths_ref, mins_ref, payload_ref, img_ref
     b = pl.program_id(0)
     g = pl.program_id(1)
     nb = pl.num_programs(1)
-    p = g & 1  # ping-pong read buffer (reads are hazard-free across blocks)
 
     def read_into(slot, rbase):
         return pltpu.make_async_copy(
@@ -261,22 +272,6 @@ def _decode_kernel(groups_row, bands, depths_ref, mins_ref, payload_ref, img_ref
             sems.at[slot],
         )
 
-    @pl.when(g == 0)
-    def _():
-        cursor_ref[0] = 0
-        read_into(0, 0).start()
-
-    row_base = cursor_ref[0] >> 7
-
-    # wait for the read covering this block (issued at g-1, or just above)
-    @pl.when(p == 0)
-    def _():
-        read_into(0, row_base).wait()
-
-    @pl.when(p == 1)
-    def _():
-        read_into(1, row_base).wait()
-
     depth = depths_ref[0].astype(jnp.int32)  # (groups, 128)
     mn = mins_ref[0].astype(jnp.int32)
     loff_all = _exclusive_lane_cumsum(2 * depth)
@@ -284,23 +279,8 @@ def _decode_kernel(groups_row, bands, depths_ref, mins_ref, payload_ref, img_ref
     loffs = [loff_all[s : s + 1, :] for s in range(groups)]
     totals = [tot_all[s, 0] for s in range(groups)]
 
-    # the cursor chain needs only the depth sums → prefetch the next block's
-    # stream window while this block expands/unpacks
-    c_end = cursor_ref[0]
-    for s in range(groups):
-        c_end = c_end + totals[s]
-
-    @pl.when((p == 0) & (g + 1 < nb))
-    def _():
-        read_into(1, c_end >> 7).start()
-
-    @pl.when((p == 1) & (g + 1 < nb))
-    def _():
-        read_into(0, c_end >> 7).start()
-
-    base_row = p * STAGE_ROWS
-    c = cursor_ref[0]
-    for s in range(groups):
+    def gather_group(s, c, row_base, base_row):
+        """Window of group s's stream words from the staged rows into win_ref."""
         lc = c - (row_base << 7)
         r0 = lc & (LANES - 1)
         lg0 = lc >> 7
@@ -316,8 +296,64 @@ def _decode_kernel(groups_row, bands, depths_ref, mins_ref, payload_ref, img_ref
             cand = jnp.take_along_axis(row, src_lane, axis=-1)
             win = jnp.where(src_row == rr, cand, win)
         win_ref[:, s, :] = win
-        c = c + totals[s]
-    cursor_ref[0] = c
+
+    if groups <= GROUPS_PER_STAGE:
+        # fast path: the whole block's stream fits one staged window —
+        # ping-pong buffers prefetch the next block's window (the cursor
+        # chain needs only the depth sums) while this block expands/unpacks
+        p = g & 1
+
+        @pl.when(g == 0)
+        def _():
+            cursor_ref[0] = 0
+            read_into(0, 0).start()
+
+        row_base = cursor_ref[0] >> 7
+
+        # wait for the read covering this block (issued at g-1, or just above)
+        @pl.when(p == 0)
+        def _():
+            read_into(0, row_base).wait()
+
+        @pl.when(p == 1)
+        def _():
+            read_into(1, row_base).wait()
+
+        c_end = cursor_ref[0]
+        for s in range(groups):
+            c_end = c_end + totals[s]
+
+        @pl.when((p == 0) & (g + 1 < nb))
+        def _():
+            read_into(1, c_end >> 7).start()
+
+        @pl.when((p == 1) & (g + 1 < nb))
+        def _():
+            read_into(0, c_end >> 7).start()
+
+        c = cursor_ref[0]
+        for s in range(groups):
+            gather_group(s, c, row_base, p * STAGE_ROWS)
+            c = c + totals[s]
+        cursor_ref[0] = c
+    else:
+        # wide grids (> GROUPS_PER_STAGE lane-groups per block, e.g. padded
+        # width 3072): the block's stream spans several staged windows —
+        # re-read synchronously per chunk, exactly mirroring encode's flushes
+        @pl.when(g == 0)
+        def _():
+            cursor_ref[0] = 0
+
+        for c0 in range(0, groups, GROUPS_PER_STAGE):
+            row_base = cursor_ref[0] >> 7
+            rd = read_into(0, row_base)
+            rd.start()
+            rd.wait()
+            c = cursor_ref[0]
+            for s in range(c0, min(c0 + GROUPS_PER_STAGE, groups)):
+                gather_group(s, c, row_base, 0)
+                c = c + totals[s]
+            cursor_ref[0] = c
 
     for i in range(64):
         res_ref[i] = jnp.zeros((groups, LANES), jnp.uint32)
@@ -369,7 +405,7 @@ def _decode_kernel(groups_row, bands, depths_ref, mins_ref, payload_ref, img_ref
 
 
 def decode_band_kernel(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray,
-                       width: int):
+                       width: int, interpret: bool = False):
     """(depths (B,Tp//128,128) u8, mins, payload (B,R,128) u32) →
     img32 (B, Hp, W//4) u32."""
     B, rows8, _ = depths.shape
@@ -401,4 +437,5 @@ def decode_band_kernel(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndar
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(depths, mins, payload)

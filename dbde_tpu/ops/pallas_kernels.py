@@ -1,16 +1,23 @@
-"""Experimental v4 Pallas kernels: u32-packed tile IO + one-DMA-per-block.
+"""Tile-layout Pallas kernels: the general-geometry TPU codec path.
 
-Differences from the stable kernels (pallas_kernels.py):
+Used by DbdeCodec for widths where the image-layout band kernels
+(pallas_band.py) would pad too much (band_width(W) > 3*W, i.e. W < ~342).
+The per-tile semantics reproduce dbde_util.cpp:22-103/216-279; the serial
+payload cursor (dbde_util.cpp:150-158) becomes a lane prefix-sum + vectorized
+binary-search compaction (kernel_common.py).
+
+Design notes (each measured on TPU v5e):
   * tiles cross the kernel boundary as u32 words packing 4 pixels
     (``tiles_W`` layout, (B, 16, Tp)): u8 arrays DMA ~10x slower than u32 on
-    this TPU runtime (they live in (32,128)-packed VMEM tiling), and the XLA
-    u8 tile transposes dominated the end-to-end time.  Pixels are extracted /
-    re-packed with in-register byte shifts.
+    this TPU runtime (they live in (32,128)-packed VMEM tiling), and XLA
+    u8 tile transposes dominated the end-to-end time of the earlier u8-IO
+    variant (~3x slower end to end; deleted in round 2).  Pixels are
+    extracted / re-packed with in-register byte shifts.
   * the whole 1024-tile block's payload stream is assembled in one (160,128)
     VMEM staging VALUE via dynamic sublane rolls + OR accumulation (group
     windows only ever OR over zeros or identical carry lanes), then moved
-    with a single 80KB DMA — the stable kernel's 8 small DMAs per block were
-    ~1.1us each of latency.
+    with a single 80KB DMA — 8 small DMAs per block were ~1.1us each of
+    latency.
   * the decode unpack is depth-predicated through a scratch ref (blocks only
     pay for bit-depths present).
 
@@ -27,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .kernel_common import (
-    _compact_group,
+    _compact_group_pairs,
     _exclusive_lane_cumsum,
     _lanes,
     _pack_contributions,
@@ -48,11 +55,6 @@ def payload_rows(tp: int) -> int:
 
 def pad_tiles(t: int) -> int:
     return -(-t // TILES_BLOCK) * TILES_BLOCK
-
-
-
-
-
 
 
 def _extract_pixels(x32):
@@ -111,9 +113,13 @@ def _encode_kernel(tiles_ref, depths_ref, mins_ref, payload_ref,
 
     # ---- assemble the whole block's stream in one staging value ----
     row_base = cursor_ref[0] >> 7
+    ploff_all = _exclusive_lane_cumsum(depth)  # pair offsets, all groups
+    tot_all = jnp.sum(2 * depth, axis=-1, keepdims=True)
     stage = jnp.zeros((STAGE_ROWS, LANES), jnp.uint32)
     for s in range(GROUPS):
-        seg, total = _compact_group(words_ref, depth, s)
+        seg, total = _compact_group_pairs(
+            words_ref, depth, s, ploff_all[s : s + 1, :], tot_all[s, 0]
+        )
         c = cursor_ref[0]
         lc = c - (row_base << 7)
         win17 = _splice17(seg, carry_ref[...], lc & (LANES - 1))

@@ -26,11 +26,10 @@ def interpret_mode(monkeypatch):
     monkeypatch.setattr(pl, "pallas_call", interp)
 
 
-def _modules():
-    import dbde_tpu.ops.pallas_kernels as stable
-    import dbde_tpu.ops.pallas_kernels_x as experimental
+def _tile_module():
+    import dbde_tpu.ops.pallas_kernels as pk
 
-    return {"stable": stable, "experimental": experimental}
+    return pk
 
 
 def band_roundtrip_check(frames):
@@ -77,19 +76,28 @@ def test_band_kernel_parity_multiblock():
     band_roundtrip_check(frames)
 
 
+def test_band_kernel_parity_wide_grid_full_depth():
+    """Width 3072 → 24 lane-groups per block (> GROUPS_PER_STAGE): the
+    stage must flush in chunks or later groups wrap modulo STAGE_ROWS and
+    corrupt earlier payload rows (round-1 advisor finding, high severity)."""
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 256, (1, 64, 3072)).astype(np.uint8)  # depth 8
+    band_roundtrip_check(frames)
+
+
+def test_band_kernel_parity_wide_grid_mixed_depth():
+    """Same wide grid with mixed depths and several chunk-boundary cursors."""
+    rng = np.random.default_rng(7)
+    frames = (rng.integers(0, 256, (1, 64, 3072)) & rng.integers(0, 256, (1, 64, 3072))).astype(np.uint8)
+    band_roundtrip_check(frames)
+
+
 def roundtrip_check(pk, frames):
     B, H, W = frames.shape
     h, w = tile_grid(W, H)
     T = h * w
     tp = pk.pad_tiles(T)
-    tiles_w_style = hasattr(pk, "image_to_tiles_w")
-    if tiles_w_style:
-        kernel_in = pk.image_to_tiles_w(jnp.asarray(frames))
-    else:
-        tiles = np.stack([ref.tile_image(f) for f in frames])
-        tiles_t = np.zeros((B, 64, tp), np.uint8)
-        tiles_t[:, :, :T] = tiles.transpose(0, 2, 1)
-        kernel_in = jnp.asarray(tiles_t)
+    kernel_in = pk.image_to_tiles_w(jnp.asarray(frames))
 
     d, m, p = pk.encode_tiles_kernel(kernel_in)
     d = np.asarray(d).reshape(B, -1)
@@ -107,27 +115,20 @@ def roundtrip_check(pk, frames):
         jnp.asarray(m.reshape(B, -1, 128)),
         jnp.asarray(p),
     )
-    if tiles_w_style:
-        out = np.asarray(pk.tiles_w_to_image(out_kernel, H, W))
-        np.testing.assert_array_equal(out, frames)
-    else:
-        tt = np.asarray(out_kernel)
-        for b in range(B):
-            np.testing.assert_array_equal(ref.untile_image(tt[b, :, :T].T, W, H), frames[b])
+    out = np.asarray(pk.tiles_w_to_image(out_kernel, H, W))
+    np.testing.assert_array_equal(out, frames)
 
 
-@pytest.mark.parametrize("variant", ["stable", "experimental"])
-def test_kernel_parity_mixed_depths(variant):
-    pk = _modules()[variant]
+def test_kernel_parity_mixed_depths():
+    pk = _tile_module()
     rng = np.random.default_rng(0)
     frames = (rng.integers(0, 256, (2, 40, 48)) & rng.integers(0, 256, (2, 40, 48))).astype(np.uint8)
     roundtrip_check(pk, frames)
 
 
-@pytest.mark.parametrize("variant", ["stable", "experimental"])
-def test_kernel_parity_uniform_depths(variant):
+def test_kernel_parity_uniform_depths():
     """Every depth 0..8, including flat tiles and full-range tiles."""
-    pk = _modules()[variant]
+    pk = _tile_module()
     rng = np.random.default_rng(1)
     img = np.zeros((24, 192), np.uint8)  # 3x24 tiles: one 8-col band per depth
     for d in range(9):
@@ -138,10 +139,9 @@ def test_kernel_parity_uniform_depths(variant):
     roundtrip_check(pk, img[None])
 
 
-@pytest.mark.parametrize("variant", ["stable", "experimental"])
-def test_kernel_parity_multiblock(variant):
+def test_kernel_parity_multiblock():
     """More than TILES_BLOCK tiles → exercises the cross-block cursor/carry."""
-    pk = _modules()[variant]
+    pk = _tile_module()
     rng = np.random.default_rng(2)
     # 96x800 -> 12x100 = 1200 tiles > 1024
     frames = (rng.integers(0, 64, (1, 96, 800)) + 10).astype(np.uint8)
