@@ -23,7 +23,10 @@ def test_mesh_construction():
     mesh = make_mesh(n_data=4, n_tiles=2)
     assert mesh.shape == {"data": 4, "tiles": 2}
     mesh = make_mesh(n_tiles=2)
-    assert mesh.shape["data"] * 2 <= 8 + 2
+    import jax
+
+    assert mesh.shape["data"] == len(jax.devices()) // 2
+    assert mesh.shape["tiles"] == 2
 
 
 @pytest.mark.parametrize("n_data,n_tiles", [(2, 1), (1, 2), (4, 2), (2, 3)])
@@ -113,3 +116,26 @@ def test_sharded_matches_global_n64():
             np.asarray(bases)[:, b],
             np.concatenate([[0], np.cumsum(np.asarray(totals)[:-1, b])]),
         )
+
+
+def test_sharded_band_backend_byte_parity():
+    """The compiled-kernel (Pallas band, interpreter mode here) sharded path:
+    per-shard segments assemble to the byte-identical global stream and the
+    fused roundtrip step recovers pixels exactly."""
+    mesh = make_mesh(n_data=1, n_tiles=2)
+    rng = np.random.default_rng(13)
+    H, W = 16, 1024  # h=2 tile rows -> 1 per shard
+    frames = (rng.integers(0, 256, (1, H, W)) & rng.integers(0, 256, (1, H, W))).astype(np.uint8)
+    depth, mn, payload, totals, bases, Hp = encode_sharded(frames, mesh, backend="band")
+    payloads = assemble_payload_host(payload, totals)
+    expected = ref.pack_image(frames[0])
+    T = 2 * 128
+    np.testing.assert_array_equal(np.asarray(depth)[0], np.frombuffer(expected, np.uint8, T, 4))
+    np.testing.assert_array_equal(np.asarray(mn)[0], np.frombuffer(expected, np.uint8, T, 8 + T))
+    np.testing.assert_array_equal(payloads[0], np.frombuffer(expected, np.uint32, offset=12 + 2 * T))
+
+    out = decode_sharded(depth, mn, payload, mesh, H=H, W=W, Hp=Hp, backend="band")
+    np.testing.assert_array_equal(out, frames)
+    # (the fused band sharded_roundtrip_step is exercised compiled on the real
+    # TPU by the verify flow — one more interpreter program here would roughly
+    # double this test's runtime for no extra kernel coverage)
