@@ -79,6 +79,75 @@ def run_bench(width: int = 2048, height: int = 2048, frames: int = 8,
     raise last
 
 
+def run_stream_bench(width: int = 2048, height: int = 2048, frames: int = 64,
+                     batch_size: int = 16, content: str = "camera",
+                     path: str | None = None, repeats: int = 2) -> dict:
+    """End-to-end sustained streaming benchmark (BASELINE configs[2]/[4]).
+
+    Unlike :func:`run_bench` (device-program time only), this measures wall
+    clock around the full pipeline: host record assembly/parse, PCIe/tunnel
+    transfer, device codec, file IO — i.e. what a camera pipeline would see.
+    Writes a whole .dbde file with DbdeWriter, then stream-decodes it with
+    DbdeReader, verifying pixels.  Wall clock is safe here: every batch is
+    distinct data and every result is fully materialized on the host.
+    """
+    import os
+    import tempfile
+
+    from .stream import DbdeReader, DbdeWriter
+
+    npix = frames * height * width
+    src = make_content(width, height, min(frames, 64), content)
+    own = path is None
+    if own:
+        fd, path = tempfile.mkstemp(suffix=".dbde")
+        os.close(fd)
+    try:
+        t_write = []
+        t_read = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            with DbdeWriter(path, height=height, width=width, frame_hz=1000.0) as wr:
+                done = 0
+                while done < frames:
+                    n = min(batch_size, frames - done, src.shape[0])
+                    wr.write(src[:n], indices=range(done, done + n))
+                    done += n
+            t_write.append(time.perf_counter() - t0)
+
+            t0 = time.perf_counter()
+            got = 0
+            with DbdeReader(path, batch_size=batch_size) as rd:
+                for headers, out in rd:
+                    # integrity: every batch must match its source frames
+                    base = headers[0].index % src.shape[0]
+                    n = len(headers)
+                    if base + n <= src.shape[0]:
+                        np.testing.assert_array_equal(out, src[base : base + n])
+                    got += n
+            t_read.append(time.perf_counter() - t0)
+            assert got == frames, (got, frames)
+        enc_bytes = os.path.getsize(path)
+        tw, tr = min(t_write), min(t_read)
+        return {
+            "metric": "stream_decode_gpix_per_s",
+            "value": round(npix / tr / 1e9, 3),
+            "unit": "Gpix/s",
+            "stream_encode_gpix_per_s": round(npix / tw / 1e9, 3),
+            "frames": frames,
+            "geometry": f"{height}x{width}",
+            "batch_size": batch_size,
+            "content": content,
+            "file_bytes": enc_bytes,
+            "frame_hz_equiv_decode": round(frames / tr, 1),
+            "frame_hz_equiv_encode": round(frames / tw, 1),
+            "note": "wall clock end-to-end incl. host parse/assembly and transfer",
+        }
+    finally:
+        if own:
+            os.unlink(path)
+
+
 def _run_bench(width: int, height: int, frames: int, iters: int,
                content: str, backend: str) -> dict:
     import jax

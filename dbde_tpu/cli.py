@@ -139,10 +139,17 @@ def _cmd_golden(args) -> int:
 
 
 def _cmd_bench(args) -> int:
-    from .bench_core import run_bench
+    if args.stream:
+        from .bench_core import run_stream_bench
 
-    result = run_bench(width=args.width, height=args.height, frames=args.frames,
-                       iters=args.iters, content=args.content)
+        result = run_stream_bench(width=args.width, height=args.height,
+                                  frames=args.frames, batch_size=args.batch,
+                                  content=args.content)
+    else:
+        from .bench_core import run_bench
+
+        result = run_bench(width=args.width, height=args.height, frames=args.frames,
+                           iters=args.iters, content=args.content)
     print(json.dumps(result))
     return 0
 
@@ -196,6 +203,9 @@ def main(argv=None) -> int:
     s.add_argument("--frames", type=int, default=8)
     s.add_argument("--iters", type=int, default=20)
     s.add_argument("--content", default="camera", choices=["camera", "random", "flat"])
+    s.add_argument("--stream", action="store_true",
+                   help="end-to-end wall-clock file streaming benchmark (write+read a whole .dbde)")
+    s.add_argument("--batch", type=int, default=16)
     s.set_defaults(fn=_cmd_bench)
 
     args = p.parse_args(argv)

@@ -12,6 +12,7 @@
 // (i32 u64s=2, u64 index, f64 elapsed), then i32 T, u8 depths[T], i32 T,
 // u8 mins[T], i32 n64, u64 payload[n64]; all little-endian.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -102,20 +103,20 @@ long dbde_gather_fields(const uint8_t* buf, long len, const long* data_offsets,
                         long batch, long tiles, uint8_t* depths, uint8_t* mins,
                         uint32_t* payload, long payload_stride_words,
                         int32_t* n64s, int threads) {
-    volatile long bad = 0;
+    std::atomic<long> bad{0};
     parallel_over(batch, threads, [&](long b) {
         long off = data_offsets[b];
         const uint8_t* p = buf + off;
         if (len - off < 12 + 2 * tiles || rd_i32(p) != tiles ||
             rd_i32(p + 4 + tiles) != tiles) {
-            bad = b + 1;
+            bad.store(b + 1, std::memory_order_relaxed);
             return;
         }
         long n64 = rd_i32(p + 8 + 2 * tiles);
         if (n64 < 0 || n64 != sum_depths(p + 4, tiles) ||
             len - off < 12 + 2 * tiles + 8 * n64 ||
             2 * n64 > payload_stride_words) {
-            bad = b + 1;
+            bad.store(b + 1, std::memory_order_relaxed);
             return;
         }
         std::memcpy(depths + b * tiles, p + 4, tiles);
@@ -125,7 +126,7 @@ long dbde_gather_fields(const uint8_t* buf, long len, const long* data_offsets,
         std::memset(dst + 2 * n64, 0, 4 * (payload_stride_words - 2 * n64));
         n64s[b] = (int32_t)n64;
     });
-    return bad;
+    return bad.load(std::memory_order_relaxed);
 }
 
 // Batched fixed-stride->ragged assembly of full records (header + data).

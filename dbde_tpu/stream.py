@@ -80,10 +80,15 @@ class DbdeReader:
     """
 
     def __init__(self, path_or_file, batch_size: int = 8, device: bool = True,
-                 use_native: bool = True):
+                 use_native: bool = True, hz_as_integer: bool = False,
+                 pipeline: int = 2, readahead: bool = True):
         self._own_file = isinstance(path_or_file, (str, os.PathLike))
         self._f = open(path_or_file, "rb") if self._own_file else path_or_file
         self.batch_size = int(batch_size)
+        self.pipeline = max(1, int(pipeline))  # device batches in flight
+        self._reader_thread = None
+        self._chunks = None
+        self._readahead = bool(readahead)
         self._native = None
         if use_native:
             from .native import binding as _nb
@@ -92,7 +97,9 @@ class DbdeReader:
         raw = self._f.read(VIDEO_HEADER_BYTES)
         if len(raw) < VIDEO_HEADER_BYTES:
             raise ValueError("file too short for a video header")
-        self.header, _ = unpack_video_header(raw)
+        # hz_as_integer: the reference's DBDE_HZ_AS_INTEGER read variant
+        # (dbde_util.cpp:352-356) — frame_hz stored as a rounded u64
+        self.header, _ = unpack_video_header(raw, hz_as_integer=hz_as_integer)
         if not self.header.ok:
             raise ValueError(f"bad video header (u64s={self.header.u64s})")
         self.height = int(self.header.height)
@@ -120,13 +127,43 @@ class DbdeReader:
 
     # -- host record scanning ------------------------------------------------
 
+    def _start_readahead(self) -> None:
+        """Background file reader: overlaps disk IO with host parse and
+        device compute (the reference's memmove+fread refill, made async)."""
+        import queue
+        import threading
+
+        self._chunks = queue.Queue(maxsize=4)
+        stop = self._stop_read = threading.Event()
+        f = self._f
+
+        def run():
+            while not stop.is_set():
+                data = f.read(self._chunk)
+                while not stop.is_set():
+                    try:
+                        self._chunks.put(data, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if not data:
+                    return
+
+        self._reader_thread = threading.Thread(target=run, daemon=True)
+        self._reader_thread.start()
+
     def _fill(self) -> None:
         """Append more file bytes.  Never compacts (record offsets collected
         by the current batch must stay valid); compaction happens between
         batches in :meth:`_read_batch_arrays`."""
         if self._eof:
             return
-        data = self._f.read(self._chunk)
+        if self._readahead:
+            if self._reader_thread is None:
+                self._start_readahead()
+            data = self._chunks.get()
+        else:
+            data = self._f.read(self._chunk)
         if not data:
             self._eof = True
         else:
@@ -222,16 +259,17 @@ class DbdeReader:
             if batch is None:
                 return False
             headers, (depths, mins, payload, n64) = batch
-            frames = self._codec.decode(depths, mins, payload)  # async dispatch
+            frames = self._codec.decode_dispatch(depths, mins, payload)  # async
             pending.append((headers, frames))
             return True
 
-        dispatch()
+        while len(pending) < self.pipeline and dispatch():
+            pass
         while pending:
             dispatch()  # overlap: parse + dispatch next while current computes
             headers, frames = pending.popleft()
             self.frames_read += len(headers)
-            yield headers, np.asarray(frames)  # blocks on device completion
+            yield headers, self._codec.materialize(frames)  # blocks on device
 
     def read_all(self) -> tuple[list[FrameHeader], np.ndarray]:
         headers, chunks = [], []
@@ -243,6 +281,14 @@ class DbdeReader:
         return headers, np.concatenate(chunks, axis=0)
 
     def close(self) -> None:
+        if self._reader_thread is not None:
+            self._stop_read.set()
+            try:
+                self._chunks.get_nowait()  # unblock a pending put
+            except Exception:
+                pass
+            self._reader_thread.join(timeout=2.0)
+            self._reader_thread = None
         if self._own_file and self._f is not None:
             self._f.close()
         self._f = None
@@ -259,7 +305,8 @@ class DbdeWriter:
     """Batched streaming writer producing a ``.dbde`` file."""
 
     def __init__(self, path_or_file, height: int, width: int, frame_hz: float = 1.0,
-                 device: bool = True, hz_as_integer: bool = False, use_native: bool = True):
+                 device: bool = True, hz_as_integer: bool = False, use_native: bool = True,
+                 pipeline: int = 2):
         self._own_file = isinstance(path_or_file, (str, os.PathLike))
         self._f = open(path_or_file, "wb") if self._own_file else path_or_file
         self._native = None
@@ -271,6 +318,7 @@ class DbdeWriter:
         self.header = VideoHeader(height=self.height, width=self.width, frame_hz=frame_hz)
         self._f.write(self.header.pack(hz_as_integer))
         self.frames_written = 0
+        self.pipeline = max(1, int(pipeline))  # device batches in flight
         self._pending = collections.deque()
         self._device = device
         self._codec = None
@@ -293,7 +341,7 @@ class DbdeWriter:
         if self._device:
             enc = self._codec.encode(frames)  # async dispatch
             self._pending.append((enc, indices, ns))
-            while len(self._pending) > 1:  # 1-deep pipeline
+            while len(self._pending) > self.pipeline:
                 self._drain_one()
         else:
             from . import ref_numpy as ref
@@ -346,8 +394,8 @@ def write_video(path, frames, frame_hz: float = 1.0, device: bool = True, batch_
             wr.write(frames[i : i + batch_size])
 
 
-def read_video(path, device: bool = True, batch_size: int = 16):
+def read_video(path, device: bool = True, batch_size: int = 16, hz_as_integer: bool = False):
     """Decode a whole .dbde file → (VideoHeader, [FrameHeader], (N, H, W) u8)."""
-    with DbdeReader(path, batch_size=batch_size, device=device) as r:
+    with DbdeReader(path, batch_size=batch_size, device=device, hz_as_integer=hz_as_integer) as r:
         headers, frames = r.read_all()
         return r.header, headers, frames

@@ -19,6 +19,31 @@ REF_DIR = "/root/reference"
 BUILD = "/tmp/dbde_ref_interop"
 
 
+TOOLS_DIR = os.path.join(os.path.dirname(__file__), "ref_tools")
+
+
+def _build_tool(name: str) -> str | None:
+    """Compile a tests/ref_tools helper (walkdump/encdump) against the
+    reference sources at -O0; cached in BUILD.  None if unbuildable."""
+    if not os.path.exists(os.path.join(REF_DIR, "dbde_util.cpp")):
+        return None
+    exe = os.path.join(BUILD, name)
+    src = os.path.join(TOOLS_DIR, name + ".cpp")
+    if os.path.exists(exe) and os.path.getmtime(exe) >= os.path.getmtime(src):
+        return exe
+    os.makedirs(BUILD, exist_ok=True)
+    try:
+        subprocess.run(
+            ["g++", "-O0", "-std=c++14", "-march=corei7", "-I", REF_DIR,
+             src, os.path.join(REF_DIR, "dbde_util.cpp"), "-o", exe + ".tmp"],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(exe + ".tmp", exe)
+        return exe
+    except (subprocess.SubprocessError, OSError):
+        return None
+
+
 def _build_reference():
     if not os.path.exists(os.path.join(REF_DIR, "dbde_util.cpp")):
         return None
@@ -127,3 +152,116 @@ def test_fuzz_jax_codec_bytes_identical(lib):
     codec = DbdeCodec(height=52, width=76)
     rec = pack_frames_bytes(codec.encode(img[None]))[0]
     assert rec[FRAME_HEADER_BYTES:] == ref_pack(lib, img)
+
+
+@pytest.mark.parametrize("geom", [(2536, 2048), (1080, 1920)])
+def test_large_geometry_bytes_identical(lib, geom):
+    """Band/bench geometries (incl. the reference driver's 2536x2048,
+    dbde_util_test.cpp:303-349) byte-identical with the C library."""
+    from dbde_tpu.codec import DbdeCodec, pack_frames_bytes
+    from dbde_tpu.format import FRAME_HEADER_BYTES
+
+    H, W = geom
+    rng = np.random.default_rng(7)
+    img = (rng.integers(0, 256, (H, W)) & rng.integers(0, 256, (H, W))).astype(np.uint8)
+    codec = DbdeCodec(height=H, width=W)
+    rec = pack_frames_bytes(codec.encode(img[None]))[0]
+    theirs = ref_pack(lib, img)
+    assert rec[FRAME_HEADER_BYTES:] == theirs
+    np.testing.assert_array_equal(
+        codec.decode(*_fields_from_bytes(theirs, W, H))[0], img
+    )
+
+
+def _fields_from_bytes(data: bytes, W: int, H: int):
+    from dbde_tpu.codec import unpack_frames_bytes
+
+    depths, mins, payload, _ = unpack_frames_bytes(data, W, H, [0])
+    return depths, mins, payload
+
+
+# ---------------------------------------------------------------------------
+# L3 <-> L3: whole files through the reference's streaming file walker
+# (dbde_start_file_walk / dbde_walk_a_file, dbde_util.cpp:362-426)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def walkdump():
+    exe = _build_tool("walkdump")
+    if exe is None:
+        pytest.skip("cannot build reference walkdump tool")
+    return exe
+
+
+@pytest.fixture(scope="module")
+def encdump():
+    exe = _build_tool("encdump")
+    if exe is None:
+        pytest.skip("cannot build reference encdump tool")
+    return exe
+
+
+def _walk_file(exe, path, H, W):
+    """Run the reference walker over ``path`` → ((N,H,W) pixels, [indices])."""
+    import re
+
+    out_raw = os.path.join(BUILD, "walk_out.raw")
+    r = subprocess.run([exe, str(path), out_raw], capture_output=True,
+                       timeout=300, text=True)
+    assert r.returncode == 0, r.stderr
+    blob = r.stdout + r.stderr
+    assert "OVERRUN" not in blob and "UNDERRUN" not in blob
+    n = int(re.search(r"frames=(\d+)", r.stdout).group(1))
+    pixels = np.fromfile(out_raw, np.uint8).reshape(n, H, W)
+    indices = [int(m.group(1)) for m in re.finditer(r"idx=(\d+)", r.stderr)]
+    return pixels, indices
+
+
+@pytest.mark.parametrize(
+    "geom,kind,device",
+    [((64, 128), "camera", True), ((43, 52), "masked", True),
+     ((30, 40), "flat", False), ((61, 1024), "masked", True)],
+)
+def test_reference_walker_reads_our_files(walkdump, tmp_path, geom, kind, device):
+    """Files written by DbdeWriter stream-decode bit-exactly through the
+    reference's own file walker (aligned, ragged, flat, band geometries)."""
+    from dbde_tpu.stream import DbdeWriter
+
+    H, W = geom
+    rng = np.random.default_rng(hash(geom) % 2**31)
+    N = 11
+    frames = np.stack([_content(rng, H, W, kind) for _ in range(N)])
+    path = tmp_path / "ours.dbde"
+    with DbdeWriter(path, height=H, width=W, frame_hz=99.25, device=device) as wr:
+        wr.write(frames[:4])
+        wr.write(frames[4:5])
+        wr.write(frames[5:])
+    pixels, indices = _walk_file(walkdump, path, H, W)
+    assert pixels.shape[0] == N
+    np.testing.assert_array_equal(pixels, frames)
+    assert indices == list(range(N))
+
+
+def test_our_reader_reads_reference_walker_files(encdump, tmp_path):
+    """Files encoded frame-by-frame by the reference library decode
+    identically through DbdeReader (device and host paths)."""
+    from dbde_tpu.stream import read_video
+
+    H, W = 37, 53
+    N = 7
+    rng = np.random.default_rng(21)
+    frames = np.stack([_content(rng, H, W, ["masked", "narrow", "flat"][i % 3]) for i in range(N)])
+    raw = tmp_path / "in.raw"
+    frames.tofile(raw)
+    path = tmp_path / "theirs.dbde"
+    r = subprocess.run([encdump, str(W), str(H), str(N), str(raw), str(path)],
+                       capture_output=True, timeout=300, text=True)
+    assert r.returncode == 0, r.stderr
+
+    for device in (True, False):
+        vh, headers, out = read_video(path, device=device, batch_size=3)
+        assert (vh.height, vh.width) == (H, W)
+        assert vh.frame_hz == 750.5
+        assert [fh.index for fh in headers] == [i * 7 for i in range(N)]
+        np.testing.assert_array_equal(out, frames)
