@@ -285,7 +285,10 @@ class DbdeCodec:
         """Pending decode handle → (B, H, W) u8 numpy (blocks on the device)."""
         if self.backend == "band":
             # device output is (B, H, ceil(W/4)) u32: free byte view + col trim
-            return np.asarray(pending).view(np.uint8)[:, :, : self.width]
+            # (ascontiguousarray: jax can hand back a strided view for some
+            # odd-width slices, and .view() needs a contiguous last axis)
+            out = np.ascontiguousarray(np.asarray(pending))
+            return out.view(np.uint8)[:, :, : self.width]
         return np.asarray(pending)
 
     def decode(self, depths, mins, payload) -> np.ndarray:

@@ -280,7 +280,14 @@ def _decode_kernel(groups_row, bands, depths_ref, mins_ref, payload_ref, img_ref
     totals = [tot_all[s, 0] for s in range(groups)]
 
     def gather_group(s, c, row_base, base_row):
-        """Window of group s's stream words from the staged rows into win_ref."""
+        """Window of group s's stream words from the staged rows into win_ref.
+
+        Deliberately an unconditional 17-row select chain: gating the rows on
+        the group's actual stream span (RMW chunk accumulation, or 4/8/17
+        size-class branches) measured 1.7x / 1.3x *slower* whole-decode —
+        dynamic ``pl.when`` around the gathers defeats Mosaic's static
+        scheduling and costs more than the skipped work saves.
+        """
         lc = c - (row_base << 7)
         r0 = lc & (LANES - 1)
         lg0 = lc >> 7
@@ -361,25 +368,28 @@ def _decode_kernel(groups_row, bands, depths_ref, mins_ref, payload_ref, img_ref
         @pl.when(jnp.any(depth == k))
         def _(k=k):
             sel = depth == k
-            mask = jnp.uint32((1 << k) - 1)
             for i in range(64):
                 bit = i * k
                 j, sh = bit >> 5, bit & 31
                 v = win_ref[j] >> sh
                 if sh + k > 32:
                     v = v | (win_ref[j + 1] << (32 - sh))
-                res_ref[i] = jnp.where(sel, v & mask, res_ref[i])
+                res_ref[i] = jnp.where(sel, v, res_ref[i])
 
     # ---- re-pack pixels into tiles_W words, then inverse transpose ----
+    # the unpack above defers truncation: one variable-shift mask per lane
+    # (applied in the single repack read of each plane) replaces a static AND
+    # per (depth, pixel) — 64 ANDs instead of up to 512
+    dmask = (jnp.uint32(1) << depth.astype(jnp.uint32)) - jnp.uint32(1)
     mn_u = mn.astype(jnp.uint32)
     out_rows = []  # [ww] → (groups, 128)
     for ww in range(16):
         r, hx = ww >> 1, ww & 1
         base = 8 * r + 4 * hx
-        w = res_ref[base] + mn_u
-        w = w | ((res_ref[base + 1] + mn_u) << 8)
-        w = w | ((res_ref[base + 2] + mn_u) << 16)
-        w = w | ((res_ref[base + 3] + mn_u) << 24)
+        w = (res_ref[base] & dmask) + mn_u
+        w = w | (((res_ref[base + 1] & dmask) + mn_u) << 8)
+        w = w | (((res_ref[base + 2] & dmask) + mn_u) << 16)
+        w = w | (((res_ref[base + 3] & dmask) + mn_u) << 24)
         out_rows.append(w)
 
     iv = {}
