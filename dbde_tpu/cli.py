@@ -144,7 +144,7 @@ def _cmd_bench(args) -> int:
 
         result = run_stream_bench(width=args.width, height=args.height,
                                   frames=args.frames, batch_size=args.batch,
-                                  content=args.content)
+                                  content=args.content, repeats=args.repeats)
     else:
         from .bench_core import run_bench
 
@@ -206,6 +206,8 @@ def main(argv=None) -> int:
     s.add_argument("--stream", action="store_true",
                    help="end-to-end wall-clock file streaming benchmark (write+read a whole .dbde)")
     s.add_argument("--batch", type=int, default=16)
+    s.add_argument("--repeats", type=int, default=2,
+                   help="--stream repetitions (best-of is reported)")
     s.set_defaults(fn=_cmd_bench)
 
     args = p.parse_args(argv)

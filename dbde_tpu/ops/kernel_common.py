@@ -71,39 +71,44 @@ def _pack_contributions(res_rows, k: int, j: int):
     return acc
 
 
-def _compact_group_pairs(words_ref, depth, s, ploff, total):
-    """Pair-space compaction of group s → (seg (16,128) u32 stream, total).
+def _compact_group_pairs(words_ref, depth, s, ploff, total, pair_rows: int = 8):
+    """Pair-space compaction of group s → (seg (2·pair_rows,128) u32, total).
 
     Every tile's payload piece starts at an even word offset (offsets are a
     cumsum of ``2*depth``) and has even length, so u32 (lo, hi) pairs are
     atomic: the binary search and candidate selection run at *pair*
-    resolution — (8,128) shapes, 8 pair-candidates — which halves the
-    gather traffic of :func:`_compact_group` (gathers here are element-cost
-    bound, measured +12%% whole-encode on v5e).  A static-index interleave
-    returns to word space.
+    resolution — (pair_rows,128) shapes, 8 pair-candidates — which halves
+    the gather traffic of :func:`_compact_group` (gathers here are
+    element-cost bound, measured +12%% whole-encode on v5e).  A
+    static-index interleave returns to word space.
+
+    ``pair_rows`` bounds the group's stream at ``256·pair_rows`` u32 words
+    (8 = the full-depth worst case); callers may shrink it when the group's
+    actual word total is known (see ``pallas_band.ENCODE_COMPACT_CLASSES``).
 
     ``ploff`` is the exclusive lane-cumsum of ``depth`` (pair offsets).
     """
-    ploff_b = jnp.broadcast_to(ploff, (8, LANES))
-    pq = _rows((8, LANES)) * LANES + _lanes((8, LANES))
+    PR = pair_rows
+    ploff_b = jnp.broadcast_to(ploff, (PR, LANES))
+    pq = _rows((PR, LANES)) * LANES + _lanes((PR, LANES))
     tile_of = _rightmost_le(ploff_b, pq)
     wm = jnp.minimum(pq - jnp.take_along_axis(ploff_b, tile_of, axis=-1), 7)
-    lo = jnp.zeros((8, LANES), jnp.uint32)
-    hi = jnp.zeros((8, LANES), jnp.uint32)
+    lo = jnp.zeros((PR, LANES), jnp.uint32)
+    hi = jnp.zeros((PR, LANES), jnp.uint32)
     for m in range(8):
         sel = wm == m
-        srcl = jnp.broadcast_to(words_ref[2 * m][s : s + 1, :], (8, LANES))
-        srch = jnp.broadcast_to(words_ref[2 * m + 1][s : s + 1, :], (8, LANES))
+        srcl = jnp.broadcast_to(words_ref[2 * m][s : s + 1, :], (PR, LANES))
+        srch = jnp.broadcast_to(words_ref[2 * m + 1][s : s + 1, :], (PR, LANES))
         lo = jnp.where(sel, jnp.take_along_axis(srcl, tile_of, axis=-1), lo)
         hi = jnp.where(sel, jnp.take_along_axis(srch, tile_of, axis=-1), hi)
     # word q = 2p + (lane&1) lives at pair (row q>>8, lane 64*(row&1) + l>>1)
     lo2 = jnp.repeat(lo, 2, axis=0)
     hi2 = jnp.repeat(hi, 2, axis=0)
-    l16 = _lanes((16, LANES))
-    idx = jnp.where((_rows((16, LANES)) & 1) == 1, 64 + (l16 >> 1), l16 >> 1)
+    l2 = _lanes((2 * PR, LANES))
+    idx = jnp.where((_rows((2 * PR, LANES)) & 1) == 1, 64 + (l2 >> 1), l2 >> 1)
     vlo = jnp.take_along_axis(lo2, idx, axis=-1)
     vhi = jnp.take_along_axis(hi2, idx, axis=-1)
-    return jnp.where((l16 & 1) == 1, vhi, vlo), total
+    return jnp.where((l2 & 1) == 1, vhi, vlo), total
 
 
 def _compact_group(words_ref, depth, s, loff=None, total=None):

@@ -73,6 +73,29 @@ GROUPS_PER_STAGE = 8  # lane-groups per stage flush: 8*16 payload rows + a
 # earlier payload rows.
 
 
+DECODE_GATHER_CLASSES = None  # optional (5, 10, 17): row-count classes for
+# the decode window select chain, branched per group on SMEM scalars.
+# MEASURED A LOSS — leave None.  Round-2 experiment: parity holds (TPU
+# quickcheck green, all geometries) but camera decode drops 32.2 → 26.3
+# Gpix/s: ``pl.when`` around the gather chains breaks Mosaic's static
+# pipelining even when the condition is an SMEM scalar and the
+# dynamic-offset row reads are hoisted out of the branches.  (Hoisting the
+# reads IS load-bearing for correctness of the experiment: a variant with
+# ``pl.ds``-on-SMEM-scalar reads inside the branch hung the chip outright.)
+
+
+ENCODE_COMPACT_CLASSES = None  # optional (2, 4, 8): pair-row classes for
+# encode payload compaction, branched per group on SMEM scalars (a group
+# with ≤ 256·PR stream words only needs a (PR,128)-shaped binary search /
+# candidate select / interleave).  MEASURED A LOSS — leave None.  Round-2
+# experiment: bit-exact (bench integrity check passed) but camera encode
+# drops 23.3 → 7.6 Gpix/s — same Mosaic-scheduling cliff as
+# DECODE_GATHER_CLASSES, amplified by the per-group seg_ref round-trip the
+# branch structure forces.  The win would be ~2x on the dominant stage; a
+# branchless formulation (e.g. splitting the *grid* by class) is the only
+# viable route.
+
+
 def payload_rows(tp: int) -> int:
     return tp * 16 // LANES + STAGE_ROWS + 8
 
@@ -249,7 +272,8 @@ def encode_depths_kernel(img32: jnp.ndarray, interpret: bool = False):
 
 
 def _payload_kernel(groups_row, bands, nent, meta_ref, img_ref, depths_ref,
-                    mins_ref, payload_ref, carry_ref, words_ref, stage_ref, sem):
+                    mins_ref, payload_ref, carry_ref, words_ref, stage_ref,
+                    seg_ref, sem):
     groups = bands * groups_row
     b = pl.program_id(0)
     g = pl.program_id(1)
@@ -275,14 +299,39 @@ def _payload_kernel(groups_row, bands, nent, meta_ref, img_ref, depths_ref,
             for j in range(2 * k):
                 words_ref[j] = jnp.where(sel, _pack_contributions(res, k, j), words_ref[j])
 
+    def compact(s):
+        """Group s's compacted (16,128) word segment, pair-row-classed on
+        the group's SMEM word total when ENCODE_COMPACT_CLASSES is set (the
+        class branches write through seg_ref since ``pl.when`` regions
+        cannot return values; the first class also covers empty groups —
+        their words are all-zero, so the compacted segment is zero)."""
+        ploff = ploff_all[s : s + 1, :]
+        if not ENCODE_COMPACT_CLASSES:
+            seg, _ = _compact_group_pairs(words_ref, depth, s, ploff, None)
+            return seg
+        total_s = meta_ref[mbase + 2 + s] - meta_ref[mbase + 1 + s]
+        need = (total_s + 255) >> 8  # pair rows: 256 u32 words each
+        prev = -1
+        for PR in ENCODE_COMPACT_CLASSES:
+            @pl.when((need > prev) & (need <= PR))
+            def _(PR=PR):
+                seg, _ = _compact_group_pairs(
+                    words_ref, depth, s, ploff, None, pair_rows=PR
+                )
+                if PR < 8:
+                    seg = jnp.concatenate(
+                        [seg, jnp.zeros((16 - 2 * PR, LANES), jnp.uint32)], axis=0
+                    )
+                seg_ref[...] = seg
+            prev = PR
+        return seg_ref[...]
+
     ploff_all = _exclusive_lane_cumsum(depth)  # pair offsets, all groups at once
     for c0 in range(0, groups, GROUPS_PER_STAGE):
         row_base = meta_ref[mbase + 1 + c0] >> 7
         stage = jnp.zeros((STAGE_ROWS, LANES), jnp.uint32)
         for s in range(c0, min(c0 + GROUPS_PER_STAGE, groups)):
-            seg, _ = _compact_group_pairs(
-                words_ref, depth, s, ploff_all[s : s + 1, :], None
-            )
+            seg = compact(s)
             lc = meta_ref[mbase + 1 + s] - (row_base << 7)
             win17 = _splice17(seg, carry_ref[...], lc & (LANES - 1))
             pad = jnp.concatenate(
@@ -336,6 +385,7 @@ def encode_payload_kernel(meta: jnp.ndarray, img32: jnp.ndarray,
                 pltpu.VMEM((1, LANES), jnp.uint32),
                 pltpu.VMEM((16, groups, LANES), jnp.uint32),
                 pltpu.VMEM((STAGE_ROWS, LANES), jnp.uint32),
+                pltpu.VMEM((16, LANES), jnp.uint32),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
@@ -387,11 +437,16 @@ def _decode_kernel(groups_row, bands, nent, meta_ref, depths_ref, mins_ref,
 
     def gather_group(s, row_base, base_row):
         """Window of group s's stream words from the staged rows into
-        win_ref.  Deliberately an unconditional 17-row select chain: gating
-        the rows on the group's actual stream span (RMW chunk accumulation,
-        or 4/8/17 size-class branches) measured 1.7x / 1.3x *slower*
-        whole-decode — dynamic ``pl.when`` around the gathers defeats
-        Mosaic's static scheduling."""
+        win_ref.  The select chain's row count is branched per group on SMEM
+        scalars (DECODE_GATHER_CLASSES): rows touched = ceil((lane offset +
+        word total)/128), so shallow groups run a short chain and empty
+        groups (depth-0 pad tiles) skip the gathers entirely — their win
+        slots keep scratch garbage, which the depth-select unpack never
+        reads and the repack dmask zeroes.  The dynamic-offset staged-row
+        *reads* stay outside the branches (probed hazard — see
+        DECODE_GATHER_CLASSES).  Earlier, gating with *vector*-derived
+        scalars measured 1.3-1.7x slower (the vector→scalar extraction, not
+        the branch, was the cost); SMEM-scalar branches are cheap."""
         lc = meta_ref[mbase + 1 + s] - (row_base << 7)
         r0 = lc & (LANES - 1)
         lg0 = lc >> 7
@@ -399,14 +454,29 @@ def _decode_kernel(groups_row, bands, nent, meta_ref, depths_ref, mins_ref,
         phys = loff_b + _rows((16, LANES)) + r0
         src_row = phys >> 7
         src_lane = phys & (LANES - 1)
-        win = jnp.zeros((16, LANES), jnp.uint32)
-        for rr in range(17):
-            row = jnp.broadcast_to(
-                rstage_ref[pl.ds(base_row + lg0 + rr, 1), :], (16, LANES)
-            )
-            cand = jnp.take_along_axis(row, src_lane, axis=-1)
-            win = jnp.where(src_row == rr, cand, win)
-        win_ref[:, s, :] = win
+        rows17 = [
+            rstage_ref[pl.ds(base_row + lg0 + rr, 1), :] for rr in range(17)
+        ]
+
+        def chain(R):
+            win = jnp.zeros((16, LANES), jnp.uint32)
+            for rr in range(R):
+                row = jnp.broadcast_to(rows17[rr], (16, LANES))
+                cand = jnp.take_along_axis(row, src_lane, axis=-1)
+                win = jnp.where(src_row == rr, cand, win)
+            win_ref[:, s, :] = win
+
+        if not DECODE_GATHER_CLASSES:
+            chain(17)
+            return
+        total_s = meta_ref[mbase + 2 + s] - meta_ref[mbase + 1 + s]
+        need = (r0 + total_s + (LANES - 1)) >> 7
+        prev = 0
+        for R in DECODE_GATHER_CLASSES:
+            @pl.when((need > prev) & (need <= R))
+            def _(R=R):
+                chain(R)
+            prev = R
 
     if groups <= GROUPS_PER_STAGE:
         # fast path: the whole block's stream fits one staged window —
