@@ -110,8 +110,12 @@ def run_stream_bench(width: int = 2048, height: int = 2048, frames: int = 64,
             with DbdeWriter(path, height=height, width=width, frame_hz=1000.0) as wr:
                 done = 0
                 while done < frames:
-                    n = min(batch_size, frames - done, src.shape[0])
-                    wr.write(src[:n], indices=range(done, done + n))
+                    # cycle through the source stack so file frame i always
+                    # holds src[i % len(src)] — the read loop's integrity
+                    # check depends on this correspondence
+                    base = done % src.shape[0]
+                    n = min(batch_size, frames - done, src.shape[0] - base)
+                    wr.write(src[base : base + n], indices=range(done, done + n))
                     done += n
             t_write.append(time.perf_counter() - t0)
 
