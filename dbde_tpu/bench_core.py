@@ -152,6 +152,67 @@ def run_stream_bench(width: int = 2048, height: int = 2048, frames: int = 64,
             os.unlink(path)
 
 
+def run_host_stream_bench(width: int = 2048, height: int = 2048, frames: int = 256,
+                          batch_size: int = 16, content: str = "camera",
+                          repeats: int = 3) -> dict:
+    """Host-only L3 walker benchmark: sustained record scan/parse rate.
+
+    Isolates the streaming layer (the reference walker's role,
+    dbde_util.cpp:362-426) from codec and host↔device transfer: the file
+    is synthesized by encoding ONE frame with the numpy oracle and
+    repeating its data block under per-frame headers, then
+    :meth:`DbdeReader.iter_raw` walks it without decoding.  This bounds
+    the host-side cost a camera pipeline pays per frame on top of the
+    device codec — the number that must exceed the camera rate (1 kHz for
+    BASELINE configs[4]) for the device throughput to be reachable
+    end-to-end.  No JAX involved.
+    """
+    import os
+    import tempfile
+
+    from . import ref_numpy as ref
+    from .format import FrameHeader, VideoHeader
+    from .stream import DbdeReader
+
+    img = make_content(width, height, 1, content)[0]
+    data = ref.pack_image(img)
+    fd, path = tempfile.mkstemp(suffix=".dbde")
+    os.close(fd)
+    try:
+        with open(path, "wb") as f:
+            f.write(VideoHeader(height=height, width=width, frame_hz=1000.0).pack())
+            for i in range(frames):
+                f.write(FrameHeader(index=i).pack())
+                f.write(data)
+        file_bytes = os.path.getsize(path)
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            got = 0
+            with DbdeReader(path, batch_size=batch_size, device=False) as rd:
+                for headers, (depths, mins, payload, n64) in rd.iter_raw():
+                    got += len(headers)
+            times.append(time.perf_counter() - t0)
+            assert got == frames, (got, frames)
+        t = min(times)
+        npix = frames * height * width
+        return {
+            "metric": "host_walk_gpix_per_s",
+            "value": round(npix / t / 1e9, 3),
+            "unit": "Gpix/s",
+            "frames": frames,
+            "geometry": f"{height}x{width}",
+            "batch_size": batch_size,
+            "content": content,
+            "file_bytes": file_bytes,
+            "file_gb_per_s": round(file_bytes / t / 1e9, 3),
+            "frame_hz_equiv": round(frames / t, 1),
+            "note": "host-only record scan/parse (iter_raw), no codec/transfer",
+        }
+    finally:
+        os.unlink(path)
+
+
 def _run_bench(width: int, height: int, frames: int, iters: int,
                content: str, backend: str) -> dict:
     import jax

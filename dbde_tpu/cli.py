@@ -139,7 +139,13 @@ def _cmd_golden(args) -> int:
 
 
 def _cmd_bench(args) -> int:
-    if args.stream:
+    if args.host_stream:
+        from .bench_core import run_host_stream_bench
+
+        result = run_host_stream_bench(width=args.width, height=args.height,
+                                       frames=args.frames, batch_size=args.batch,
+                                       content=args.content, repeats=args.repeats)
+    elif args.stream:
         from .bench_core import run_stream_bench
 
         result = run_stream_bench(width=args.width, height=args.height,
@@ -205,9 +211,11 @@ def main(argv=None) -> int:
     s.add_argument("--content", default="camera", choices=["camera", "random", "flat"])
     s.add_argument("--stream", action="store_true",
                    help="end-to-end wall-clock file streaming benchmark (write+read a whole .dbde)")
+    s.add_argument("--host-stream", action="store_true",
+                   help="host-only walker benchmark: record scan/parse rate, no codec/transfer")
     s.add_argument("--batch", type=int, default=16)
     s.add_argument("--repeats", type=int, default=2,
-                   help="--stream repetitions (best-of is reported)")
+                   help="--stream/--host-stream repetitions (best-of is reported)")
     s.set_defaults(fn=_cmd_bench)
 
     args = p.parse_args(argv)
