@@ -104,13 +104,22 @@ def band_supported(width: int) -> bool:
     return width % 1024 == 0
 
 
+BANDS_MULT = 2  # grid-block height multiplier over the minimal band count.
+# Fewer, taller grid steps amortize per-step overhead (probe_stream_bw:
+# 0.23 µs/step at 32-row blocks; pure streaming goes 283 → 453 GB/s from
+# 32 to 64 rows).  The chunked window pipeline keeps the payload DMA
+# prefetched across chunk seams, so wider groups-per-block no longer fall
+# off the ping-pong path.  1 = the minimal blocks of rounds 1-2.
+
+
 def n_bands(width: int) -> int:
     """Tile rows per grid step: smallest count making the group total a
-    multiple of 8 (the depths-output block sublane constraint)."""
+    multiple of 8 (the depths-output block sublane constraint), times
+    BANDS_MULT."""
     import math
 
     wp = width // 8
-    return 1024 // math.gcd(wp, 1024)
+    return BANDS_MULT * (1024 // math.gcd(wp, 1024))
 
 
 def pad_rows(h_img: int, width: int) -> int:
@@ -478,61 +487,70 @@ def _decode_kernel(groups_row, bands, nent, meta_ref, depths_ref, mins_ref,
                 chain(R)
             prev = R
 
-    if groups <= GROUPS_PER_STAGE:
-        # fast path: the whole block's stream fits one staged window —
-        # ping-pong buffers prefetch the next block's window (its base comes
-        # straight from SMEM; no serial dependency on this block)
-        p = g & 1
-        row_base = meta_ref[mbase + 1] >> 7
+    # Chunked window pipeline with cross-chunk ping-pong prefetch: the
+    # block's stream is consumed in GROUPS_PER_STAGE-group windows that
+    # alternate staging slots, and each chunk starts the *next* window's
+    # read — crossing into the next grid block at the seam — before
+    # gathering its own, so window-DMA latency hides behind gather work for
+    # narrow and wide grids alike.  Slots must alternate: a single-slot
+    # version raced on real TPUs (the next chunk's DMA overwrote rows the
+    # previous chunk's gathers were still reading — a WAR hazard Mosaic
+    # does not order; interpreter mode and isolated runs passed, compiled
+    # jit pipelines corrupted ~64% of pixels at W=3072).  Parity is the
+    # global chunk index (g·nch + ci) & 1 — static per chunk when nch is
+    # even (branch-free), traced when odd (nch == 1 reduces to the original
+    # per-block ping-pong, p = g & 1).
+    nch = -(-groups // GROUPS_PER_STAGE)
+    bases = [meta_ref[mbase + 1 + ci * GROUPS_PER_STAGE] >> 7 for ci in range(nch)]
+    # next block's first window base, clamped to the last block for
+    # g == nb-1 (the prefetch is dropped by pl.when, but the index must be
+    # in bounds when traced)
+    last = (b * nb + nb - 1) * nent
+    nxt0 = meta_ref[jnp.minimum(mbase + nent, last) + 1] >> 7
 
-        @pl.when(g == 0)
-        def _():
-            read_into(0, row_base).start()
+    for ci in range(nch):
+        p = (ci & 1) if nch % 2 == 0 else ((g * nch + ci) & 1)
+        if ci == 0:
+            @pl.when(g == 0)
+            def _():
+                read_into(0, bases[0]).start()
 
-        @pl.when(p == 0)
-        def _():
-            read_into(0, row_base).wait()
+        if ci + 1 < nch:
+            nxt, cond = bases[ci + 1], None
+        else:
+            nxt, cond = nxt0, g + 1 < nb
 
-        @pl.when(p == 1)
-        def _():
-            read_into(1, row_base).wait()
+        def _start(slot, rbase=nxt, cond=cond):
+            if cond is None:
+                read_into(slot, rbase).start()
+            else:
+                @pl.when(cond)
+                def _():
+                    read_into(slot, rbase).start()
 
-        # next block's meta entry, clamped to the last block for g == nb-1
-        # (the prefetch is dropped by pl.when, but the index must be in
-        # bounds when traced)
-        last = (b * nb + nb - 1) * nent
-        nxt_base = meta_ref[jnp.minimum(mbase + nent, last) + 1] >> 7
-
-        @pl.when((p == 0) & (g + 1 < nb))
-        def _():
-            read_into(1, nxt_base).start()
-
-        @pl.when((p == 1) & (g + 1 < nb))
-        def _():
-            read_into(0, nxt_base).start()
-
-        for s in range(groups):
-            gather_group(s, row_base, p * STAGE_ROWS)
-    else:
-        # wide grids (> GROUPS_PER_STAGE lane-groups per block, e.g. padded
-        # width 3072): the block's stream spans several staged windows —
-        # chunked re-reads mirroring encode's flushes.  Chunks alternate
-        # staging slots: a single-slot version raced on real TPUs (the next
-        # chunk's DMA overwrote rows the previous chunk's gathers were still
-        # reading — a WAR hazard Mosaic does not order; interpreter mode and
-        # isolated runs passed, compiled jit pipelines corrupted ~64% of
-        # pixels at W=3072).
-        nch = -(-groups // GROUPS_PER_STAGE)
-        bases = [meta_ref[mbase + 1 + ci * GROUPS_PER_STAGE] >> 7 for ci in range(nch)]
-        read_into(0, bases[0]).start()
-        for ci in range(nch):
-            p = ci & 1
+        if isinstance(p, int):
             read_into(p, bases[ci]).wait()
-            if ci + 1 < nch:
-                read_into(1 - p, bases[ci + 1]).start()
-            for s in range(ci * GROUPS_PER_STAGE,
-                           min((ci + 1) * GROUPS_PER_STAGE, groups)):
-                gather_group(s, bases[ci], p * STAGE_ROWS)
+            _start(1 - p)
+        else:
+            @pl.when(p == 0)
+            def _(rbase=bases[ci]):
+                read_into(0, rbase).wait()
+
+            @pl.when(p == 1)
+            def _(rbase=bases[ci]):
+                read_into(1, rbase).wait()
+
+            @pl.when(p == 0)
+            def _():
+                _start(1)
+
+            @pl.when(p == 1)
+            def _():
+                _start(0)
+
+        for s in range(ci * GROUPS_PER_STAGE,
+                       min((ci + 1) * GROUPS_PER_STAGE, groups)):
+            gather_group(s, bases[ci], p * STAGE_ROWS)
 
     # res planes are *not* zero-initialized: lanes no unpack pass writes
     # (depth 0, or depths absent from the block) carry scratch garbage that
