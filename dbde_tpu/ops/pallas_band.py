@@ -100,6 +100,18 @@ def payload_rows(tp: int) -> int:
     return tp * 16 // LANES + STAGE_ROWS + 8
 
 
+def _or_fold_rows(v):
+    """OR-fold (r, 128) → (1, 128) with static halving slices (Mosaic has no
+    unsigned reductions); odd counts overlap the middle row, which is fine —
+    this is only used for ablation keep-alive values."""
+    r = v.shape[0]
+    while r > 1:
+        half = (r + 1) // 2
+        v = v[:half] | v[r - half : r]
+        r = half
+    return v
+
+
 def band_supported(width: int) -> bool:
     return width % 1024 == 0
 
@@ -280,15 +292,30 @@ def encode_depths_kernel(img32: jnp.ndarray, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _payload_kernel(groups_row, bands, nent, meta_ref, img_ref, depths_ref,
-                    mins_ref, payload_ref, carry_ref, words_ref, stage_ref,
-                    seg_ref, sem):
+def _payload_kernel(groups_row, bands, nent, ablate_stage, meta_ref, img_ref,
+                    depths_ref, mins_ref, payload_ref, carry_ref, words_ref,
+                    stage_ref, seg_ref, sem):
+    """``ablate_stage`` (trace-time; None in production) truncates the kernel
+    after stage N for per-stage cost profiling (tools/ablate_band.py): 0 =
+    deint+extract, 1 = +pack, 2 = +compaction, None/3 = full.  Ablated
+    variants write keep-alive garbage — only device time is meaningful."""
     groups = bands * groups_row
     b = pl.program_id(0)
     g = pl.program_id(1)
     nb = pl.num_programs(1)
     mbase = (b * nb + g) * nent
     kmask = meta_ref[mbase]
+
+    def _keep_flush(v):
+        """OR-reduce v to one row, broadcast over the stage buffer, one DMA
+        (keeps every input to v alive through the DMA side effect)."""
+        v1 = _or_fold_rows(v)
+        stage_ref[...] = jnp.broadcast_to(v1, (STAGE_ROWS, LANES))
+        dma = pltpu.make_async_copy(
+            stage_ref, payload_ref.at[b, pl.ds(0, STAGE_ROWS), :], sem
+        )
+        dma.start()
+        dma.wait()
 
     @pl.when(g == 0)
     def _():
@@ -299,6 +326,13 @@ def _payload_kernel(groups_row, bands, nent, meta_ref, img_ref, depths_ref,
     pix = _extract_pixels(_deinterleave_block(img_ref[0], groups, groups_row))
     res = [(pix[i] - mn).astype(jnp.uint32) for i in range(64)]
 
+    if ablate_stage == 0:
+        acc = res[0]
+        for i in range(1, 64):  # OR all planes so none is dead-code-eliminated
+            acc = acc | res[i]
+        _keep_flush(acc)
+        return
+
     for j in range(16):
         words_ref[j] = jnp.zeros((groups, LANES), jnp.uint32)
     for k in range(1, 9):
@@ -307,6 +341,10 @@ def _payload_kernel(groups_row, bands, nent, meta_ref, img_ref, depths_ref,
             sel = depth == k
             for j in range(2 * k):
                 words_ref[j] = jnp.where(sel, _pack_contributions(res, k, j), words_ref[j])
+
+    if ablate_stage == 1:
+        _keep_flush(words_ref[0] | words_ref[15])
+        return
 
     def compact(s):
         """Group s's compacted (16,128) word segment, pair-row-classed on
@@ -336,6 +374,14 @@ def _payload_kernel(groups_row, bands, nent, meta_ref, img_ref, depths_ref,
         return seg_ref[...]
 
     ploff_all = _exclusive_lane_cumsum(depth)  # pair offsets, all groups at once
+
+    if ablate_stage == 2:
+        acc = jnp.zeros((16, LANES), jnp.uint32)
+        for s in range(groups):
+            acc = acc | compact(s)
+        _keep_flush(acc)
+        return
+
     for c0 in range(0, groups, GROUPS_PER_STAGE):
         row_base = meta_ref[mbase + 1 + c0] >> 7
         stage = jnp.zeros((STAGE_ROWS, LANES), jnp.uint32)
@@ -368,7 +414,7 @@ def _payload_kernel(groups_row, bands, nent, meta_ref, img_ref, depths_ref,
 
 def encode_payload_kernel(meta: jnp.ndarray, img32: jnp.ndarray,
                           depths3: jnp.ndarray, mins3: jnp.ndarray,
-                          interpret: bool = False):
+                          interpret: bool = False, ablate_stage: int | None = None):
     """Encode phase B: compacted payload stream (B, R, 128) u32 from the
     image block + phase-A depth/min grids + prefetched stream offsets."""
     B, hp8, wq = img32.shape
@@ -378,7 +424,7 @@ def encode_payload_kernel(meta: jnp.ndarray, img32: jnp.ndarray,
     tp = (hp8 // 8) * wp
     rows = payload_rows(tp)
     nent = groups + 2
-    kern = functools.partial(_payload_kernel, groups_row, bands, nent)
+    kern = functools.partial(_payload_kernel, groups_row, bands, nent, ablate_stage)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -424,14 +470,28 @@ def encode_band_kernel(img32: jnp.ndarray, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _decode_kernel(groups_row, bands, nent, meta_ref, depths_ref, mins_ref,
-                   payload_ref, img_ref, win_ref, res_ref, rstage_ref, sems):
+def _decode_kernel(groups_row, bands, nent, ablate_stage, meta_ref, depths_ref,
+                   mins_ref, payload_ref, img_ref, win_ref, res_ref,
+                   rstage_ref, sems):
+    """``ablate_stage`` (trace-time; None in production) truncates the kernel
+    after stage N for per-stage cost profiling (tools/ablate_band.py): 0 =
+    dma+meta, 1 = +window gathers, 2 = +unpack, None/3 = full.  Ablated
+    variants write keep-alive garbage — only device time is meaningful."""
     groups = bands * groups_row
     b = pl.program_id(0)
     g = pl.program_id(1)
     nb = pl.num_programs(1)
     mbase = (b * nb + g) * nent
     kmask = meta_ref[mbase]
+
+    def _keep(v):
+        """OR-reduce v to one row and tile it over the image block (keeps
+        every input to v alive through the block output write)."""
+        v1 = _or_fold_rows(v)
+        row = jnp.concatenate([v1] * (2 * groups_row), axis=-1)
+        img_ref[...] = jnp.broadcast_to(
+            row, (8 * bands, 2 * groups_row * LANES)
+        ).reshape(1, 8 * bands, -1)
 
     def read_into(slot, rbase):
         return pltpu.make_async_copy(
@@ -548,9 +608,18 @@ def _decode_kernel(groups_row, bands, nent, meta_ref, depths_ref, mins_ref,
             def _():
                 _start(0)
 
+        if ablate_stage == 0:
+            continue  # DMA pipeline only; skip the gathers
         for s in range(ci * GROUPS_PER_STAGE,
                        min((ci + 1) * GROUPS_PER_STAGE, groups)):
             gather_group(s, bases[ci], p * STAGE_ROWS)
+
+    if ablate_stage == 0:
+        _keep(rstage_ref[0:1, :] | rstage_ref[STAGE_ROWS : STAGE_ROWS + 1, :])
+        return
+    if ablate_stage == 1:
+        _keep(win_ref[0] | win_ref[15])
+        return
 
     # res planes are *not* zero-initialized: lanes no unpack pass writes
     # (depth 0, or depths absent from the block) carry scratch garbage that
@@ -566,6 +635,10 @@ def _decode_kernel(groups_row, bands, nent, meta_ref, depths_ref, mins_ref,
                 if sh + k > 32:
                     v = v | (win_ref[j + 1] << (32 - sh))
                 res_ref[i] = jnp.where(sel, v, res_ref[i])
+
+    if ablate_stage == 2:
+        _keep(res_ref[0] | res_ref[63])
+        return
 
     # ---- re-pack pixels into tiles_W words, then inverse transpose ----
     # the unpack above defers truncation: one variable-shift mask per lane
@@ -606,7 +679,8 @@ def _decode_kernel(groups_row, bands, nent, meta_ref, depths_ref, mins_ref,
 
 
 def decode_band_kernel(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray,
-                       width: int, interpret: bool = False):
+                       width: int, interpret: bool = False,
+                       ablate_stage: int | None = None):
     """(depths (B,Tp//128,128) u8, mins, payload (B,R,128) u32) →
     img32 (B, Hp, W//4) u32."""
     B, rows8, _ = depths.shape
@@ -618,7 +692,7 @@ def decode_band_kernel(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndar
     nb = hp // bands
     nent = groups + 2
     meta = stream_meta(depths, width)
-    kern = functools.partial(_decode_kernel, groups_row, bands, nent)
+    kern = functools.partial(_decode_kernel, groups_row, bands, nent, ablate_stage)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(

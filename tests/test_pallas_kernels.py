@@ -70,9 +70,31 @@ def test_band_kernel_parity_ragged_rows():
     band_roundtrip_check(frames)
 
 
-def test_band_kernel_parity_multiblock():
+def test_band_kernel_parity_single_block_padded():
+    """H=96 pads into ONE 128-row grid block at BANDS_MULT=2 — covers the
+    in-block row-pad path only; the cross-block seams are covered by the
+    nb >= 2 tests below."""
     rng = np.random.default_rng(5)
     frames = (rng.integers(0, 32, (1, 96, 1024)) + 40).astype(np.uint8)
+    band_roundtrip_check(frames)
+
+
+def test_band_kernel_parity_two_blocks_mixed():
+    """nb=2 at the shipped BANDS_MULT=2 geometry (H=200 → 256 rows, 128-row
+    blocks): exercises the cross-block encode carry and the decode
+    seam-crossing window prefetch (pallas_band.py nxt0 / g+1 < nb) — the
+    code paths where the round-2 WAR race lived.  The serial cross-tile
+    coupling these seams reimplement: dbde_util.cpp:150-158."""
+    rng = np.random.default_rng(15)
+    frames = (rng.integers(0, 256, (1, 200, 1024)) & rng.integers(0, 256, (1, 200, 1024))).astype(np.uint8)
+    band_roundtrip_check(frames)
+
+
+def test_band_kernel_parity_three_blocks_ragged():
+    """nb=3 with a ragged last tile row (H=270 → 384 padded rows): the seam
+    prefetch fires twice and the final block carries pad tiles."""
+    rng = np.random.default_rng(16)
+    frames = (rng.integers(0, 64, (1, 270, 1024)) + 30).astype(np.uint8)
     band_roundtrip_check(frames)
 
 
@@ -85,10 +107,13 @@ def test_band_kernel_parity_wide_grid_full_depth():
     band_roundtrip_check(frames)
 
 
-def test_band_kernel_parity_wide_grid_mixed_depth():
-    """Same wide grid with mixed depths and several chunk-boundary cursors."""
+def test_band_kernel_parity_wide_grid_mixed_depth_two_blocks():
+    """Wide grid with mixed depths AND nb=2 (H=160 → 256 rows): chunked
+    stage flushes plus the block-seam prefetch crossing a chunked window
+    pipeline — the exact compiled-jit configuration whose WAR race
+    corrupted ~64% of pixels in round 2."""
     rng = np.random.default_rng(7)
-    frames = (rng.integers(0, 256, (1, 64, 3072)) & rng.integers(0, 256, (1, 64, 3072))).astype(np.uint8)
+    frames = (rng.integers(0, 256, (1, 160, 3072)) & rng.integers(0, 256, (1, 160, 3072))).astype(np.uint8)
     band_roundtrip_check(frames)
 
 

@@ -22,12 +22,14 @@ BUILD = "/tmp/dbde_ref_interop"
 TOOLS_DIR = os.path.join(os.path.dirname(__file__), "ref_tools")
 
 
-def _build_tool(name: str) -> str | None:
+def _build_tool(name: str, defines: tuple[str, ...] = (), suffix: str = "") -> str | None:
     """Compile a tests/ref_tools helper (walkdump/encdump) against the
-    reference sources at -O0; cached in BUILD.  None if unbuildable."""
+    reference sources at -O0; cached in BUILD.  None if unbuildable.
+    ``defines`` passes reference build variants (e.g. -DDBDE_HZ_AS_INTEGER,
+    dbde_util.cpp:203-207) through to the compilation."""
     if not os.path.exists(os.path.join(REF_DIR, "dbde_util.cpp")):
         return None
-    exe = os.path.join(BUILD, name)
+    exe = os.path.join(BUILD, name + suffix)
     src = os.path.join(TOOLS_DIR, name + ".cpp")
     if os.path.exists(exe) and os.path.getmtime(exe) >= os.path.getmtime(src):
         return exe
@@ -35,7 +37,7 @@ def _build_tool(name: str) -> str | None:
     try:
         subprocess.run(
             ["g++", "-O0", "-std=c++14", "-march=corei7", "-I", REF_DIR,
-             src, os.path.join(REF_DIR, "dbde_util.cpp"), "-o", exe + ".tmp"],
+             *defines, src, os.path.join(REF_DIR, "dbde_util.cpp"), "-o", exe + ".tmp"],
             check=True, capture_output=True, timeout=120,
         )
         os.replace(exe + ".tmp", exe)
@@ -241,6 +243,86 @@ def test_reference_walker_reads_our_files(walkdump, tmp_path, geom, kind, device
     assert pixels.shape[0] == N
     np.testing.assert_array_equal(pixels, frames)
     assert indices == list(range(N))
+
+
+# ---------------------------------------------------------------------------
+# DBDE_HZ_AS_INTEGER build variant: frame_hz stored as a rounded u64
+# (dbde_util.cpp:203-207, 352-356).  The reference's own test driver never
+# exercises this variant — its guard is misspelled DBDE_HZ_IN_INTEGER
+# (dbde_util_test.cpp:149, SURVEY §5) — so these tests exchange files with a
+# reference binary actually COMPILED with -DDBDE_HZ_AS_INTEGER.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def walkdump_hzint():
+    exe = _build_tool("walkdump", defines=("-DDBDE_HZ_AS_INTEGER",), suffix="_hzint")
+    if exe is None:
+        pytest.skip("cannot build hz-as-integer reference walkdump")
+    return exe
+
+
+@pytest.fixture(scope="module")
+def encdump_hzint():
+    exe = _build_tool("encdump", defines=("-DDBDE_HZ_AS_INTEGER",), suffix="_hzint")
+    if exe is None:
+        pytest.skip("cannot build hz-as-integer reference encdump")
+    return exe
+
+
+def test_hzint_reference_walker_reads_our_files(walkdump_hzint, tmp_path):
+    """DbdeWriter(hz_as_integer=True) files decode bit-exactly through a
+    reference walker built with -DDBDE_HZ_AS_INTEGER, including the
+    add-then-truncate hz rounding ((long long)(hz + 0.5))."""
+    import re
+
+    from dbde_tpu.stream import DbdeWriter
+
+    H, W = 41, 67
+    rng = np.random.default_rng(31)
+    N = 6
+    frames = np.stack([_content(rng, H, W, "masked") for _ in range(N)])
+    path = tmp_path / "ours_hzint.dbde"
+    with DbdeWriter(path, height=H, width=W, frame_hz=99.75, device=False,
+                    hz_as_integer=True) as wr:
+        wr.write(frames)
+    out_raw = os.path.join(BUILD, "walk_hzint_out.raw")
+    r = subprocess.run([walkdump_hzint, str(path), out_raw], capture_output=True,
+                       timeout=300, text=True)
+    assert r.returncode == 0, r.stderr
+    # 99.75 + 0.5 truncates to 100; the variant reader surfaces it as 100.0
+    assert re.search(r"hz=100\.0", r.stderr), r.stderr
+    n = int(re.search(r"frames=(\d+)", r.stdout).group(1))
+    assert n == N
+    np.testing.assert_array_equal(
+        np.fromfile(out_raw, np.uint8).reshape(N, H, W), frames
+    )
+
+
+def test_our_reader_reads_hzint_reference_files(encdump_hzint, tmp_path):
+    """Files written by a -DDBDE_HZ_AS_INTEGER reference encoder parse
+    through DbdeReader(hz_as_integer=True): hz comes back as the rounded
+    integer (750.5 → 751.0) and pixels are exact."""
+    from dbde_tpu.stream import read_video
+
+    H, W = 29, 45
+    N = 5
+    rng = np.random.default_rng(33)
+    frames = np.stack([_content(rng, H, W, "narrow") for _ in range(N)])
+    raw = tmp_path / "in_hzint.raw"
+    frames.tofile(raw)
+    path = tmp_path / "theirs_hzint.dbde"
+    r = subprocess.run([encdump_hzint, str(W), str(H), str(N), str(raw), str(path)],
+                       capture_output=True, timeout=300, text=True)
+    assert r.returncode == 0, r.stderr
+    vh, headers, out = read_video(path, device=False, batch_size=2, hz_as_integer=True)
+    assert (vh.height, vh.width) == (H, W)
+    assert vh.frame_hz == 751.0  # (long long)(750.5 + 0.5)
+    np.testing.assert_array_equal(out, frames)
+    # the default (f64) parse of the same bytes must NOT round-trip the hz —
+    # proves the variant actually changes the on-disk bytes
+    vh2, _, _ = read_video(path, device=False, hz_as_integer=False)
+    assert vh2.frame_hz != 751.0
 
 
 def test_our_reader_reads_reference_walker_files(encdump, tmp_path):
