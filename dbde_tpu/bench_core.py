@@ -152,6 +152,155 @@ def run_stream_bench(width: int = 2048, height: int = 2048, frames: int = 64,
             os.unlink(path)
 
 
+def run_composed_stream_bench(width: int = 2048, height: int = 2048,
+                              frames: int = 64, batch_size: int = 16,
+                              content: str = "camera") -> dict:
+    """Tunnel-free sustained-streaming model (BASELINE configs[2]/[4]).
+
+    The dev rig reaches its TPU through a ~10 MB/s network tunnel, so
+    `--stream` wall clock measures the relay link and nothing else
+    (ROUND2_NOTES).  This benchmark instead measures each pipeline leg
+    *independently* where it actually runs — device legs from the JAX
+    profiler's device timeline, host legs as wall clock over /dev/shm — and
+    composes them under the writer/reader's 2-deep overlap model (stream.py:
+    legs run concurrently, so sustained rate = the slowest leg).  The
+    physical transfer leg is reported as the *required* link bandwidth for
+    the composed rate, to compare against a production host's local PCIe
+    (a v5e host has ≥8 GB/s per direction; the tunnel's 0.01 GB/s is the
+    rig artifact being factored out).
+
+    Encode direction: device codec → host record assembly + file write.
+    Decode direction: host record walk/parse → device codec.
+    """
+    import os
+    import tempfile
+
+    from .codec import DbdeCodec, EncodedBatch, pack_frames_bytes
+    from .format import VideoHeader
+    from .stream import DbdeReader
+
+    codec = DbdeCodec(height=height, width=width)
+    B = batch_size
+    src = make_content(width, height, B, content)
+    npix_b = B * height * width
+
+    # --- device legs (device-timeline time; wall clock on CPU backends) ---
+    enc_input = codec._to_img32(src) if codec.backend == "band" else src
+    t_enc_dev = _measure(codec._encode, enc_input, reps=4)
+    enc = codec.encode(src)
+    t_dec_dev = _measure(codec._decode, enc.depths, enc.mins, enc.payload, reps=4)
+    out = codec.decode(enc.depths, enc.mins, enc.payload)
+    np.testing.assert_array_equal(np.asarray(out), src)  # never bench wrong results
+
+    # encoded fields to host ONCE, outside any timed leg (on this rig the
+    # transfer is the tunnel artifact; a production host pays the PCIe
+    # numbers reported below)
+    n64_np = np.asarray(enc.n64)
+    enc_host = EncodedBatch(
+        depths=np.asarray(enc.depths),
+        mins=np.asarray(enc.mins),
+        payload=np.asarray(enc.payload[:, : 2 * int(n64_np.max())]),
+        n64=n64_np,
+    )
+
+    # --- host legs over /dev/shm (no device, no transfer) ---
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    fd, path = tempfile.mkstemp(suffix=".dbde", dir=shm)
+    os.close(fd)
+    try:
+        nbatches = max(1, frames // B)
+        t0 = time.perf_counter()
+        with open(path, "wb") as f:
+            f.write(VideoHeader(height=height, width=width, frame_hz=1000.0).pack())
+            for i in range(nbatches):
+                # per-batch record assembly from device-shaped arrays + write
+                for rec in pack_frames_bytes(enc_host, indices=range(i * B, i * B + B)):
+                    f.write(rec)
+        t_asm = (time.perf_counter() - t0) / nbatches
+        enc_bytes = os.path.getsize(path)
+
+        t_parse = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            got = 0
+            with DbdeReader(path, batch_size=B, device=False) as rd:
+                for headers, arrays in rd.iter_raw():
+                    got += len(headers)
+            t_parse.append((time.perf_counter() - t0) / nbatches)
+            assert got == nbatches * B
+        t_par = min(t_parse)
+    finally:
+        os.unlink(path)
+
+    enc_leg = max(t_enc_dev, t_asm)
+    dec_leg = max(t_dec_dev, t_par)
+    enc_gpix = npix_b / enc_leg / 1e9
+    dec_gpix = npix_b / dec_leg / 1e9
+    enc_bytes_b = enc_bytes / nbatches
+    return {
+        "metric": "composed_stream_decode_gpix_per_s",
+        "value": round(dec_gpix, 3),
+        "unit": "Gpix/s",
+        "composed_stream_encode_gpix_per_s": round(enc_gpix, 3),
+        "frame_hz_equiv_decode": round(dec_gpix * 1e9 / (height * width), 1),
+        "frame_hz_equiv_encode": round(enc_gpix * 1e9 / (height * width), 1),
+        "legs_ms_per_batch": {
+            "device_encode": round(t_enc_dev * 1e3, 3),
+            "host_assemble_write": round(t_asm * 1e3, 3),
+            "host_walk_parse": round(t_par * 1e3, 3),
+            "device_decode": round(t_dec_dev * 1e3, 3),
+        },
+        "required_link_gb_per_s": {
+            "encode_h2d_raw": round(npix_b / enc_leg / 1e9, 2),
+            "encode_d2h_packed": round(enc_bytes_b / enc_leg / 1e9, 2),
+            "decode_h2d_packed": round(enc_bytes_b / dec_leg / 1e9, 2),
+            "decode_d2h_raw": round(npix_b / dec_leg / 1e9, 2),
+        },
+        "geometry": f"{height}x{width}",
+        "batch_size": B,
+        "content": content,
+        "backend": codec.backend,
+        "note": "per-leg measurement composed under the 2-deep pipeline "
+                "overlap; transfer reported as required link bandwidth "
+                "(the dev rig's tunnel is the excluded artifact)",
+    }
+
+
+def run_latency_bench(width: int = 2048, height: int = 2048,
+                      content: str = "camera") -> dict:
+    """Single-frame (batch=1) codec latency — the reference driver's
+    per-frame timing analogue (dbde_util_test.cpp:234-299).  A camera
+    pipeline at batch 1 pays whole-grid dispatch per frame; this pins it."""
+    import jax
+
+    from .codec import DbdeCodec
+
+    codec = DbdeCodec(height=height, width=width)
+    img = make_content(width, height, 1, content)
+    enc_input = codec._to_img32(img) if codec.backend == "band" else img
+    t_enc = _measure(codec._encode, enc_input, reps=8)
+    enc = codec.encode(img)
+    t_dec = _measure(codec._decode, enc.depths, enc.mins, enc.payload, reps=8)
+    out = codec.decode(enc.depths, enc.mins, enc.payload)
+    np.testing.assert_array_equal(np.asarray(out), img)
+    npix = height * width
+    return {
+        "metric": "decode_latency_ms_per_frame",
+        "value": round(t_dec * 1e3, 4),
+        "unit": "ms",
+        "encode_latency_ms_per_frame": round(t_enc * 1e3, 4),
+        "decode_hz_equiv": round(1.0 / t_dec, 1),
+        "encode_hz_equiv": round(1.0 / t_enc, 1),
+        "decode_gpix_per_s": round(npix / t_dec / 1e9, 3),
+        "encode_gpix_per_s": round(npix / t_enc / 1e9, 3),
+        "geometry": f"1x{height}x{width}",
+        "content": content,
+        "backend": codec.backend,
+        "device": str(jax.devices()[0]),
+        "note": "batch=1 device-program time (dispatch-inclusive grid cost)",
+    }
+
+
 def run_host_stream_bench(width: int = 2048, height: int = 2048, frames: int = 256,
                           batch_size: int = 16, content: str = "camera",
                           repeats: int = 3) -> dict:

@@ -139,7 +139,19 @@ def _cmd_golden(args) -> int:
 
 
 def _cmd_bench(args) -> int:
-    if args.host_stream:
+    if args.composed:
+        from .bench_core import run_composed_stream_bench
+
+        result = run_composed_stream_bench(width=args.width, height=args.height,
+                                           frames=args.frames,
+                                           batch_size=args.batch,
+                                           content=args.content)
+    elif args.latency:
+        from .bench_core import run_latency_bench
+
+        result = run_latency_bench(width=args.width, height=args.height,
+                                   content=args.content)
+    elif args.host_stream:
         from .bench_core import run_host_stream_bench
 
         result = run_host_stream_bench(width=args.width, height=args.height,
@@ -213,6 +225,12 @@ def main(argv=None) -> int:
                    help="end-to-end wall-clock file streaming benchmark (write+read a whole .dbde)")
     s.add_argument("--host-stream", action="store_true",
                    help="host-only walker benchmark: record scan/parse rate, no codec/transfer")
+    s.add_argument("--composed", action="store_true",
+                   help="tunnel-free sustained-streaming model: per-leg measurement "
+                        "(device timeline + /dev/shm host legs) composed under the "
+                        "2-deep pipeline; reports required link bandwidth")
+    s.add_argument("--latency", action="store_true",
+                   help="single-frame (batch=1) codec latency")
     s.add_argument("--batch", type=int, default=16)
     s.add_argument("--repeats", type=int, default=2,
                    help="--stream/--host-stream repetitions (best-of is reported)")

@@ -111,6 +111,55 @@ def _compact_group_pairs(words_ref, depth, s, ploff, total, pair_rows: int = 8):
     return jnp.where((l2 & 1) == 1, vhi, vlo), total
 
 
+def _compact_chunk_pairs(words_ref, c0: int, n: int, ploff_all, pair_rows: int = 8):
+    """Pair-space compaction of ``n`` consecutive groups [c0, c0+n) in ONE
+    batch of (pair_rows·n, 128)-shaped ops → (2·pair_rows·n, 128) u32 word
+    segments, group-major.
+
+    Same math as :func:`_compact_group_pairs`, but the binary search — a
+    chain of 7 *dependent* lane gathers — runs once on (pair_rows·n, 128)
+    instead of n times on (pair_rows, 128): per-group the chain is
+    latency-bound (each step is a thin dependent gather), so batching
+    amortizes the serial latency n-fold and cuts the op count of the
+    select/interleave stages by the same factor.  Group rows are replicated
+    with ``jnp.repeat`` (sublane broadcast), which keeps every gather inside
+    one 128-lane group.
+
+    ``pair_rows`` bounds every group's stream at ``256·pair_rows`` u32
+    words (8 = full-depth worst case); whole-kernel variants pick smaller
+    values from the batch's actual maximum (see pallas_band).
+
+    ``ploff_all`` is the exclusive lane-cumsum of ``depth`` for ALL groups
+    ((groups, 128) pair offsets); ``words_ref`` the 16 word planes.
+    """
+    PR = pair_rows
+    R = PR * n
+    ploff_b = jnp.repeat(ploff_all[c0 : c0 + n, :], PR, axis=0)  # (R, 128)
+    rows = _rows((R, LANES))
+    r_in = rows & (PR - 1) if PR & (PR - 1) == 0 else rows % PR
+    pq = r_in * LANES + _lanes((R, LANES))
+    tile_of = _rightmost_le(ploff_b, pq)
+    wm = jnp.minimum(pq - jnp.take_along_axis(ploff_b, tile_of, axis=-1), 7)
+    lo = jnp.zeros((R, LANES), jnp.uint32)
+    hi = jnp.zeros((R, LANES), jnp.uint32)
+    for m in range(8):
+        sel = wm == m
+        srcl = jnp.repeat(words_ref[2 * m][c0 : c0 + n, :], PR, axis=0)
+        srch = jnp.repeat(words_ref[2 * m + 1][c0 : c0 + n, :], PR, axis=0)
+        lo = jnp.where(sel, jnp.take_along_axis(srcl, tile_of, axis=-1), lo)
+        hi = jnp.where(sel, jnp.take_along_axis(srch, tile_of, axis=-1), hi)
+    # word q = 2p + (lane&1) lives at pair (row q>>8, lane 64*(row&1) + l>>1);
+    # jnp.repeat keeps group blocks contiguous (16 rows each), and row parity
+    # is preserved because blocks are an even number of rows
+    lo2 = jnp.repeat(lo, 2, axis=0)
+    hi2 = jnp.repeat(hi, 2, axis=0)
+    l2 = _lanes((2 * R, LANES))
+    idx = jnp.where((_rows((2 * R, LANES)) & 1) == 1, 64 + (l2 >> 1), l2 >> 1)
+    vlo = jnp.take_along_axis(lo2, idx, axis=-1)
+    vhi = jnp.take_along_axis(hi2, idx, axis=-1)
+    return jnp.where((l2 & 1) == 1, vhi, vlo)
+
+
 def _compact_group(words_ref, depth, s, loff=None, total=None):
     """Compact group s's 128 tiles → (seg (16,128) u32 stream, total words).
 

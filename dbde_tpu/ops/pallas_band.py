@@ -56,6 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .kernel_common import (
+    _compact_chunk_pairs,
     _compact_group_pairs,
     _exclusive_lane_cumsum,
     _lanes,
@@ -116,22 +117,40 @@ def band_supported(width: int) -> bool:
     return width % 1024 == 0
 
 
-BANDS_MULT = 2  # grid-block height multiplier over the minimal band count.
+BANDS_MULT: int | None = None  # grid-block height multiplier over the
+# minimal band count.  None (production) = width-adaptive: double the block
+# until it would exceed BLOCK_ROWS_CAP image rows or BLOCK_GROUPS_CAP
+# lane-groups.  An int forces that multiplier (tools/ablate_band.py --mult).
+#
 # Fewer, taller grid steps amortize per-step overhead (probe_stream_bw:
-# 0.23 µs/step at 32-row blocks; pure streaming goes 283 → 453 GB/s from
-# 32 to 64 rows).  The chunked window pipeline keeps the payload DMA
-# prefetched across chunk seams, so wider groups-per-block no longer fall
-# off the ping-pong path.  1 = the minimal blocks of rounds 1-2.
+# 0.23 µs/step at 32-row blocks; pure streaming 283 → 453 → 745 GB/s at
+# 32 / 64 / 256-row blocks).  Measured v5e, camera 8x2048² (mult = 2/4/8 ⇒
+# 64/128/256-row blocks): encode 28.4 / 31.4 / 33.1 Gpix/s, decode 46.8 /
+# 53.3 / 57.0 — monotone up to the caps.  The caps bound VMEM (a 256-row
+# 2048-wide block is 512 KiB of image + staging) and unrolled-kernel size
+# (the payload/window loops are fully unrolled over the block's groups).
+
+BLOCK_ROWS_CAP = 256
+BLOCK_GROUPS_CAP = 64
 
 
 def n_bands(width: int) -> int:
     """Tile rows per grid step: smallest count making the group total a
-    multiple of 8 (the depths-output block sublane constraint), times
-    BANDS_MULT."""
+    multiple of 8 (the depths-output block sublane constraint), doubled
+    while the block stays within BLOCK_ROWS_CAP/BLOCK_GROUPS_CAP (or times
+    BANDS_MULT when forced)."""
     import math
 
     wp = width // 8
-    return BANDS_MULT * (1024 // math.gcd(wp, 1024))
+    base = 1024 // math.gcd(wp, 1024)
+    if BANDS_MULT is not None:
+        return BANDS_MULT * base
+    groups_row = wp // LANES
+    bands = base
+    while (16 * bands <= BLOCK_ROWS_CAP
+           and 2 * bands * groups_row <= BLOCK_GROUPS_CAP):
+        bands *= 2
+    return bands
 
 
 def pad_rows(h_img: int, width: int) -> int:
@@ -292,13 +311,21 @@ def encode_depths_kernel(img32: jnp.ndarray, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _payload_kernel(groups_row, bands, nent, ablate_stage, meta_ref, img_ref,
-                    depths_ref, mins_ref, payload_ref, carry_ref, words_ref,
-                    stage_ref, seg_ref, sem):
-    """``ablate_stage`` (trace-time; None in production) truncates the kernel
+def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
+                    img_ref, depths_ref, mins_ref, payload_ref, carry_ref,
+                    words_ref, stage_ref, seg_ref, sem):
+    """``pair_rows`` (trace-time) bounds every lane-group's stream at
+    ``256·pair_rows`` u32 words.  Production always uses 8: reduced variants
+    measured SLOWER on v5e (1.488 vs 1.273 ms at pair_rows=5 — non-pow2
+    sublane-block shapes lower worse than the element saving; see the
+    DECODE_CHAIN_VARIANTS comment).  The parameter stays for experiments and
+    its parity is pinned by tests.
+
+    ``ablate_stage`` (trace-time; None in production) truncates the kernel
     after stage N for per-stage cost profiling (tools/ablate_band.py): 0 =
     deint+extract, 1 = +pack, 2 = +compaction, None/3 = full.  Ablated
     variants write keep-alive garbage — only device time is meaningful."""
+    PR = pair_rows
     groups = bands * groups_row
     b = pl.program_id(0)
     g = pl.program_id(1)
@@ -375,18 +402,50 @@ def _payload_kernel(groups_row, bands, nent, ablate_stage, meta_ref, img_ref,
 
     ploff_all = _exclusive_lane_cumsum(depth)  # pair offsets, all groups at once
 
+    def _seg(seg_all, i):
+        """Group i-of-chunk's (16, 128) word segment out of the batched
+        compaction value, zero-padded past 2·PR rows (slots beyond a group's
+        word total gather from the zeroed word planes, so the OR-splice sees
+        zeros either way).  The batched value stays register/VMEM-resident —
+        an explicit scratch round-trip measured +0.24 ms/33 MB (it
+        serializes against Mosaic's software pipelining)."""
+        seg = seg_all[2 * PR * i : 2 * PR * i + 2 * PR]
+        if PR == 8:
+            return seg
+        return jnp.concatenate(
+            [seg, jnp.zeros((16 - 2 * PR, LANES), jnp.uint32)], axis=0
+        )
+
     if ablate_stage == 2:
         acc = jnp.zeros((16, LANES), jnp.uint32)
-        for s in range(groups):
-            acc = acc | compact(s)
+        for c0 in range(0, groups, GROUPS_PER_STAGE):
+            ncg = min(c0 + GROUPS_PER_STAGE, groups) - c0
+            if ENCODE_BATCHED_COMPACTION:
+                seg_all = _compact_chunk_pairs(
+                    words_ref, c0, ncg, ploff_all, pair_rows=PR
+                )
+                for i in range(ncg):
+                    acc = acc | _seg(seg_all, i)
+            else:
+                for s in range(c0, c0 + ncg):
+                    acc = acc | compact(s)
         _keep_flush(acc)
         return
 
+    batched = ENCODE_BATCHED_COMPACTION and not ENCODE_COMPACT_CLASSES
     for c0 in range(0, groups, GROUPS_PER_STAGE):
+        ncg = min(c0 + GROUPS_PER_STAGE, groups) - c0
+        if batched:
+            # one batched compaction for the whole chunk: the binary search's
+            # 7-step dependent gather chain runs once at (PR·ncg, 128)
+            # instead of ncg times at (PR, 128) — amortizes its serial latency
+            seg_all = _compact_chunk_pairs(
+                words_ref, c0, ncg, ploff_all, pair_rows=PR
+            )
         row_base = meta_ref[mbase + 1 + c0] >> 7
         stage = jnp.zeros((STAGE_ROWS, LANES), jnp.uint32)
         for s in range(c0, min(c0 + GROUPS_PER_STAGE, groups)):
-            seg = compact(s)
+            seg = _seg(seg_all, s - c0) if batched else compact(s)
             lc = meta_ref[mbase + 1 + s] - (row_base << 7)
             win17 = _splice17(seg, carry_ref[...], lc & (LANES - 1))
             pad = jnp.concatenate(
@@ -414,7 +473,8 @@ def _payload_kernel(groups_row, bands, nent, ablate_stage, meta_ref, img_ref,
 
 def encode_payload_kernel(meta: jnp.ndarray, img32: jnp.ndarray,
                           depths3: jnp.ndarray, mins3: jnp.ndarray,
-                          interpret: bool = False, ablate_stage: int | None = None):
+                          interpret: bool = False, ablate_stage: int | None = None,
+                          pair_rows: int = 8):
     """Encode phase B: compacted payload stream (B, R, 128) u32 from the
     image block + phase-A depth/min grids + prefetched stream offsets."""
     B, hp8, wq = img32.shape
@@ -424,7 +484,8 @@ def encode_payload_kernel(meta: jnp.ndarray, img32: jnp.ndarray,
     tp = (hp8 // 8) * wp
     rows = payload_rows(tp)
     nent = groups + 2
-    kern = functools.partial(_payload_kernel, groups_row, bands, nent, ablate_stage)
+    kern = functools.partial(_payload_kernel, groups_row, bands, nent,
+                             pair_rows, ablate_stage)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -450,6 +511,46 @@ def encode_payload_kernel(meta: jnp.ndarray, img32: jnp.ndarray,
     )(meta, img32, depths3, mins3)
 
 
+ENCODE_BATCHED_COMPACTION = False  # batch the chunk's 8 per-group pair
+# compactions into (64,128)-shaped ops.  MEASURED A LOSS on v5e — leave
+# False: camera encode 1.35 ms batched vs 1.19 ms per-group.  The batch
+# replaces per-group one-row ``broadcast_to`` (free, a lane-constant vreg)
+# with ``jnp.repeat`` of 8 distinct rows (real sublane data movement), which
+# costs more than the amortized binary-search latency it saves.  Kept behind
+# this flag with parity coverage so the negative result stays reproducible.
+
+DECODE_CHAIN_VARIANTS = (6, 11, 17)  # window-gather chain lengths of the
+# compiled decode variants (rows of staged payload each group's tile window
+# can span), selected per batch by lax.switch.  Measured needs: flat 0,
+# camera ≈10, random 16; measured wins (v5e, camera 8×2048²): chain 11 =
+# 0.642 ms vs chain 17 = 0.799 ms, switch overhead unmeasurable.  The
+# matching ENCODE experiment was a LOSS and is not wired: pair_rows=5
+# payload variants measured 1.488 ms vs 1.273 ms for pair_rows=8 (non-pow2
+# sublane-block shapes lower worse than the 5/8 element saving), and
+# lax.switch on the encode side adds ~0.15 ms (the conditional copies the
+# 33 MB img32 operand; decode's switch operands are the compressed stream).
+
+
+def _group_totals(depths3: jnp.ndarray, width: int):
+    """(gstart, gtot): per-lane-group absolute word offsets and word counts
+    ((B, nb·groups) i32 each) — the scalars behind both variant selectors."""
+    B = depths3.shape[0]
+    tp = depths3.shape[1] * LANES
+    _, _, _, groups = _geometry(width)
+    nb = tp // (groups * LANES)
+    d = depths3.astype(jnp.int32).reshape(B, nb * groups, LANES)
+    gtot = 2 * jnp.sum(d, axis=-1)
+    gstart = jnp.cumsum(gtot, axis=-1) - gtot
+    return gstart, gtot
+
+
+def _variant_index(need, bounds):
+    idx = jnp.zeros((), jnp.int32)
+    for b in bounds[:-1]:
+        idx = idx + (need > b).astype(jnp.int32)
+    return idx
+
+
 def encode_band_kernel(img32: jnp.ndarray, interpret: bool = False):
     """img32 (B, Hp, W//4) u32 [Hp % block rows == 0, W % 1024 == 0] →
     (depths (B, Tp//128, 128) u8, mins, payload (B, R, 128) u32).
@@ -470,13 +571,21 @@ def encode_band_kernel(img32: jnp.ndarray, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _decode_kernel(groups_row, bands, nent, ablate_stage, meta_ref, depths_ref,
-                   mins_ref, payload_ref, img_ref, win_ref, res_ref,
-                   rstage_ref, sems):
-    """``ablate_stage`` (trace-time; None in production) truncates the kernel
+def _decode_kernel(groups_row, bands, nent, chain_rows, ablate_stage, meta_ref,
+                   depths_ref, mins_ref, payload_ref, img_ref, win_ref,
+                   res_ref, rstage_ref, sems):
+    """``chain_rows`` (trace-time) is the window-gather select-chain length:
+    the number of staged payload rows a group's tile window may span (17 =
+    full-depth worst case).  decode_band_kernel compiles one variant per
+    DECODE_CHAIN_VARIANTS entry and lax.switches on the batch's actual
+    maximum — rows past a group's real words never hold selected data, so a
+    shorter chain is exact whenever every group fits it.
+
+    ``ablate_stage`` (trace-time; None in production) truncates the kernel
     after stage N for per-stage cost profiling (tools/ablate_band.py): 0 =
     dma+meta, 1 = +window gathers, 2 = +unpack, None/3 = full.  Ablated
     variants write keep-alive garbage — only device time is meaningful."""
+    assert not DECODE_GATHER_CLASSES or chain_rows == 17
     groups = bands * groups_row
     b = pl.program_id(0)
     g = pl.program_id(1)
@@ -524,7 +633,8 @@ def _decode_kernel(groups_row, bands, nent, ablate_stage, meta_ref, depths_ref,
         src_row = phys >> 7
         src_lane = phys & (LANES - 1)
         rows17 = [
-            rstage_ref[pl.ds(base_row + lg0 + rr, 1), :] for rr in range(17)
+            rstage_ref[pl.ds(base_row + lg0 + rr, 1), :]
+            for rr in range(chain_rows)
         ]
 
         def chain(R):
@@ -536,7 +646,7 @@ def _decode_kernel(groups_row, bands, nent, ablate_stage, meta_ref, depths_ref,
             win_ref[:, s, :] = win
 
         if not DECODE_GATHER_CLASSES:
-            chain(17)
+            chain(chain_rows)
             return
         total_s = meta_ref[mbase + 2 + s] - meta_ref[mbase + 1 + s]
         need = (r0 + total_s + (LANES - 1)) >> 7
@@ -680,9 +790,15 @@ def _decode_kernel(groups_row, bands, nent, ablate_stage, meta_ref, depths_ref,
 
 def decode_band_kernel(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray,
                        width: int, interpret: bool = False,
-                       ablate_stage: int | None = None):
+                       ablate_stage: int | None = None,
+                       chain: int | None = None):
     """(depths (B,Tp//128,128) u8, mins, payload (B,R,128) u32) →
-    img32 (B, Hp, W//4) u32."""
+    img32 (B, Hp, W//4) u32.
+
+    Compiled in DECODE_CHAIN_VARIANTS gather-chain variants, selected per
+    batch by lax.switch on the deepest group's staged-row span (see
+    _decode_kernel); pass ``chain`` to force one variant.  Interpreter mode
+    compiles only the worst case (dedicated tests pin variant parity)."""
     B, rows8, _ = depths.shape
     tp = rows8 * LANES
     assert width % 1024 == 0
@@ -692,7 +808,32 @@ def decode_band_kernel(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndar
     nb = hp // bands
     nent = groups + 2
     meta = stream_meta(depths, width)
-    kern = functools.partial(_decode_kernel, groups_row, bands, nent, ablate_stage)
+    if chain is None and not interpret and ablate_stage is None:
+        gstart, gtot = _group_totals(depths, width)
+        need = jnp.max(-((gstart % LANES + gtot) // -LANES))  # ceil rows
+        return jax.lax.switch(
+            _variant_index(need, DECODE_CHAIN_VARIANTS),
+            [
+                functools.partial(_decode_call, c, width, interpret,
+                                  ablate_stage)
+                for c in DECODE_CHAIN_VARIANTS
+            ],
+            meta, depths, mins, payload,
+        )
+    return _decode_call(chain or 17, width, interpret, ablate_stage,
+                        meta, depths, mins, payload)
+
+
+def _decode_call(chain_rows, width, interpret, ablate_stage,
+                 meta, depths, mins, payload):
+    B, rows8, _ = depths.shape
+    tp = rows8 * LANES
+    bands, wp, groups_row, groups = _geometry(width)
+    hp = tp // wp
+    nb = hp // bands
+    nent = groups + 2
+    kern = functools.partial(_decode_kernel, groups_row, bands, nent,
+                             chain_rows, ablate_stage)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -69,11 +69,11 @@ def test_band_codec_arbitrary_width(geom):
 def test_band_codec_odd_width_multiblock():
     """Odd width (W % 4 != 0) through the band materialize path — guards the
     strided-view fix in DbdeCodec.materialize (codec.py ascontiguousarray) —
-    at a multi-block geometry (W=1027 → Wp=2048, 64-row blocks; H=100 pads
-    to 128 → nb=2)."""
+    at a multi-block geometry (W=1027 → Wp=2048, adaptive 256-row blocks;
+    H=300 pads to 512 → nb=2)."""
     from dbde_tpu.codec import DbdeCodec, pack_frames_bytes
 
-    H, W = 100, 1027
+    H, W = 300, 1027
     rng = np.random.default_rng(8)
     frames = (rng.integers(0, 256, (1, H, W)) & rng.integers(0, 256, (1, H, W))).astype(np.uint8)
     codec = DbdeCodec(height=H, width=W, backend="band")

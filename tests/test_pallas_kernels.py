@@ -71,30 +71,31 @@ def test_band_kernel_parity_ragged_rows():
 
 
 def test_band_kernel_parity_single_block_padded():
-    """H=96 pads into ONE 128-row grid block at BANDS_MULT=2 — covers the
-    in-block row-pad path only; the cross-block seams are covered by the
-    nb >= 2 tests below."""
+    """H=96 pads into ONE 256-row grid block at the adaptive W=1024
+    geometry — covers the in-block row-pad path only; the cross-block seams
+    are covered by the nb >= 2 tests below."""
     rng = np.random.default_rng(5)
     frames = (rng.integers(0, 32, (1, 96, 1024)) + 40).astype(np.uint8)
     band_roundtrip_check(frames)
 
 
 def test_band_kernel_parity_two_blocks_mixed():
-    """nb=2 at the shipped BANDS_MULT=2 geometry (H=200 → 256 rows, 128-row
-    blocks): exercises the cross-block encode carry and the decode
+    """nb=2 at the shipped adaptive W=1024 geometry (H=300 → 512 rows,
+    256-row blocks): exercises the cross-block encode carry and the decode
     seam-crossing window prefetch (pallas_band.py nxt0 / g+1 < nb) — the
     code paths where the round-2 WAR race lived.  The serial cross-tile
     coupling these seams reimplement: dbde_util.cpp:150-158."""
     rng = np.random.default_rng(15)
-    frames = (rng.integers(0, 256, (1, 200, 1024)) & rng.integers(0, 256, (1, 200, 1024))).astype(np.uint8)
+    frames = (rng.integers(0, 256, (1, 300, 1024)) & rng.integers(0, 256, (1, 300, 1024))).astype(np.uint8)
     band_roundtrip_check(frames)
 
 
 def test_band_kernel_parity_three_blocks_ragged():
-    """nb=3 with a ragged last tile row (H=270 → 384 padded rows): the seam
-    prefetch fires twice and the final block carries pad tiles."""
+    """nb=3 with a ragged last tile row (H=530 → 768 padded rows at 256-row
+    blocks): the seam prefetch fires twice and the final block carries pad
+    tiles."""
     rng = np.random.default_rng(16)
-    frames = (rng.integers(0, 64, (1, 270, 1024)) + 30).astype(np.uint8)
+    frames = (rng.integers(0, 64, (1, 530, 1024)) + 30).astype(np.uint8)
     band_roundtrip_check(frames)
 
 
@@ -115,6 +116,44 @@ def test_band_kernel_parity_wide_grid_mixed_depth_two_blocks():
     rng = np.random.default_rng(7)
     frames = (rng.integers(0, 256, (1, 160, 3072)) & rng.integers(0, 256, (1, 160, 3072))).astype(np.uint8)
     band_roundtrip_check(frames)
+
+
+def test_band_kernel_variant_parity():
+    """The compiled decode picks shorter gather-chain variants by content
+    (pallas_band.DECODE_CHAIN_VARIANTS via lax.switch); interpreter runs
+    compile only the worst case, so pin the reduced variants' byte parity
+    here by forcing them on content that fits them (camera-like depths ≤ 4 →
+    chain 11 suffices).  encode's pair_rows analogue measured slower and is
+    not wired into production (DECODE_CHAIN_VARIANTS comment), but the
+    parameter stays for experiments — pin its parity too."""
+    import jax.numpy as jnp
+
+    import dbde_tpu.ops.pallas_band as pb
+
+    rng = np.random.default_rng(23)
+    H, W = 48, 1024
+    # depth <= 4 everywhere: every lane-group total <= 2*4*128 = 1024 words
+    frames = (rng.integers(0, 16, (1, H, W)) + 100).astype(np.uint8)
+    hp8 = pb.pad_rows(H, W)
+    padded = np.zeros((1, hp8, W), np.uint8)
+    padded[:, :H] = frames
+    img32 = jnp.asarray(padded.view(np.uint32))
+    d, m = pb.encode_depths_kernel(img32)
+    meta = pb.stream_meta(d, W)
+    p_full = pb.encode_payload_kernel(meta, img32, d, m, pair_rows=8)
+    p_var = pb.encode_payload_kernel(meta, img32, d, m, pair_rows=5)
+    h, w = tile_grid(W, H)
+    T = h * w
+    exp = ref.pack_image(frames[0])
+    exp_p = np.frombuffer(exp, np.uint32, offset=12 + 2 * T)
+    np.testing.assert_array_equal(np.asarray(p_var).reshape(-1)[: len(exp_p)], exp_p)
+    np.testing.assert_array_equal(
+        np.asarray(p_full).reshape(-1)[: len(exp_p)], exp_p
+    )
+    out_var = pb.decode_band_kernel(d, m, p_var, W, chain=11)
+    np.testing.assert_array_equal(
+        np.asarray(out_var).view(np.uint8)[:, :H, :W], frames
+    )
 
 
 def roundtrip_check(pk, frames):

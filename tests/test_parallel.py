@@ -141,13 +141,14 @@ def test_sharded_band_backend_byte_parity():
 def test_sharded_band_fused_multiblock():
     """The fused band sharded_roundtrip_step on a 2x2 virtual mesh with
     MULTI-BLOCK shards: n_data=2 (one frame per data shard), n_tiles=2 with
-    17 tile rows per shard (H=272 → L=136 real rows → 256 padded → nb=2 per
-    shard at BANDS_MULT=2).  Covers what the byte-parity test above cannot:
+    34 tile rows per shard (H=544 → L=272 real rows → 512 padded → nb=2 per
+    shard at the adaptive 256-row W=1024 blocks).  Covers what the
+    byte-parity test above cannot:
     several tile rows per shard, the cross-block seam pipeline inside each
     shard, and the fused encode→decode program with the cross-mesh psum."""
     mesh = make_mesh(n_data=2, n_tiles=2)
     rng = np.random.default_rng(17)
-    H, W = 272, 1024
+    H, W = 544, 1024
     frames = (rng.integers(0, 256, (2, H, W)) & rng.integers(0, 256, (2, H, W))).astype(np.uint8)
     out, n64 = sharded_roundtrip_step(frames, mesh, backend="band")
     np.testing.assert_array_equal(out, frames)
