@@ -56,6 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .kernel_common import (
+    _compact_chunk_interleaved,
     _compact_chunk_pairs,
     _compact_group_pairs,
     _exclusive_lane_cumsum,
@@ -416,38 +417,54 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
             [seg, jnp.zeros((16 - 2 * PR, LANES), jnp.uint32)], axis=0
         )
 
+    batched = ENCODE_BATCHED_COMPACTION and not ENCODE_COMPACT_CLASSES
+    interleaved = (ENCODE_INTERLEAVED_COMPACTION and not batched
+                   and not ENCODE_COMPACT_CLASSES)
+
+    def chunk_segs(c0, ncg):
+        """The chunk's ncg (16, 128) word segments, by the configured
+        compaction strategy (production: step-major interleaved searches)."""
+        if interleaved:
+            segs = _compact_chunk_interleaved(
+                words_ref, c0, ncg, ploff_all, pair_rows=PR
+            )
+            if PR < 8:
+                segs = [
+                    jnp.concatenate(
+                        [sg, jnp.zeros((16 - 2 * PR, LANES), jnp.uint32)], axis=0
+                    )
+                    for sg in segs
+                ]
+            return segs
+        if batched:
+            seg_all = _compact_chunk_pairs(
+                words_ref, c0, ncg, ploff_all, pair_rows=PR
+            )
+            return [_seg(seg_all, i) for i in range(ncg)]
+        return [compact(s) for s in range(c0, c0 + ncg)]
+
     if ablate_stage == 2:
         acc = jnp.zeros((16, LANES), jnp.uint32)
         for c0 in range(0, groups, GROUPS_PER_STAGE):
             ncg = min(c0 + GROUPS_PER_STAGE, groups) - c0
-            if ENCODE_BATCHED_COMPACTION:
-                seg_all = _compact_chunk_pairs(
-                    words_ref, c0, ncg, ploff_all, pair_rows=PR
-                )
-                for i in range(ncg):
-                    acc = acc | _seg(seg_all, i)
-            else:
-                for s in range(c0, c0 + ncg):
-                    acc = acc | compact(s)
+            for sg in chunk_segs(c0, ncg):
+                acc = acc | sg
         _keep_flush(acc)
         return
 
-    batched = ENCODE_BATCHED_COMPACTION and not ENCODE_COMPACT_CLASSES
+    # the cross-group carry row lives in a register across the block's
+    # chunks (one VMEM read here, one write at block end) — the per-group
+    # carry_ref round-trip serialized the splice loop
+    carry = carry_ref[...]
     for c0 in range(0, groups, GROUPS_PER_STAGE):
         ncg = min(c0 + GROUPS_PER_STAGE, groups) - c0
-        if batched:
-            # one batched compaction for the whole chunk: the binary search's
-            # 7-step dependent gather chain runs once at (PR·ncg, 128)
-            # instead of ncg times at (PR, 128) — amortizes its serial latency
-            seg_all = _compact_chunk_pairs(
-                words_ref, c0, ncg, ploff_all, pair_rows=PR
-            )
+        segs = chunk_segs(c0, ncg)
         row_base = meta_ref[mbase + 1 + c0] >> 7
         stage = jnp.zeros((STAGE_ROWS, LANES), jnp.uint32)
-        for s in range(c0, min(c0 + GROUPS_PER_STAGE, groups)):
-            seg = _seg(seg_all, s - c0) if batched else compact(s)
+        for s in range(c0, c0 + ncg):
+            seg = segs[s - c0]
             lc = meta_ref[mbase + 1 + s] - (row_base << 7)
-            win17 = _splice17(seg, carry_ref[...], lc & (LANES - 1))
+            win17 = _splice17(seg, carry, lc & (LANES - 1))
             pad = jnp.concatenate(
                 [win17, jnp.zeros((STAGE_ROWS - 17, LANES), jnp.uint32)], axis=0
             )
@@ -457,7 +474,7 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
             ri = (lc_new >> 7) - (lc >> 7)
             win24 = jnp.concatenate([win17, jnp.zeros((7, LANES), jnp.uint32)], axis=0)
             top = pltpu.roll(win24, (24 - ri) % 24, 0)[0:1, :]
-            carry_ref[...] = jnp.where(
+            carry = jnp.where(
                 _lanes((1, LANES)) < (lc_new & (LANES - 1)), top, jnp.uint32(0)
             )
 
@@ -469,6 +486,7 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
         )
         dma.start()
         dma.wait()
+    carry_ref[...] = carry
 
 
 def encode_payload_kernel(meta: jnp.ndarray, img32: jnp.ndarray,
@@ -510,6 +528,35 @@ def encode_payload_kernel(meta: jnp.ndarray, img32: jnp.ndarray,
         interpret=interpret,
     )(meta, img32, depths3, mins3)
 
+
+ENCODE_INTERLEAVED_COMPACTION = True  # run the chunk's binary searches
+# step-major in sub-chunks of kernel_common.INTERLEAVE_WIDTH groups
+# (kernel_common._compact_chunk_interleaved) instead of group-major.  The
+# search is a 7-step *dependent* gather chain; per-group program order
+# serializes it, while round-robin order hides each step's latency behind
+# the other groups' steps at identical shapes and zero extra data movement.
+# Measured v5e camera 8x2048²: width 4 encode 33.1 → 34.2 Gpix/s (width 2:
+# 34.15; width 8 with candidates+interleave also step-major: 28.7 — vreg
+# spills).  False restores the round-2 group-major order for A/B.
+#
+# Compaction optimization attempts beyond this, all MEASURED NO-GAIN/LOSS
+# on v5e (tools/probe_compact*.py, 211 ns/group baseline = the whole
+# remaining encode gap; kept as probe tools so they are not re-tried
+# blind):
+#   * packed2 (two groups per (16,128) vreg op, halved op count): 207 ns —
+#     the stage is element-throughput-bound, not op-count-bound.
+#   * merged lo/hi candidate gathers ((32,128) per m): 207 ns, same reason.
+#   * pltpu.repeat for the pair→word interleave: 207 ns.
+#   * interleave via MXU one-hot matmuls (16-bit halves, exact): 476 ns —
+#     the int↔f32 casts and small matmuls cost far more than the (16,128)
+#     gathers they replace.
+#   * wm-fold (track ascent values, drop the final ploff re-gather): 210 ns.
+#   * splat-ladder first ascent steps (constant-index steps as broadcasts):
+#     Mosaic "Not implemented: Broadcast in both sublanes and lanes" — an
+#     element→lanes broadcast needs a gather anyway.
+# Conclusion: pair-space compaction sits at its practical VPU floor; the
+# encode/decode gap is the format's inverse-map (stream-slot → tile)
+# having no closed form, unlike decode's forward map.
 
 ENCODE_BATCHED_COMPACTION = False  # batch the chunk's 8 per-group pair
 # compactions into (64,128)-shaped ops.  MEASURED A LOSS on v5e — leave
