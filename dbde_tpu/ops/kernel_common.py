@@ -71,6 +71,23 @@ def _pack_contributions(res_rows, k: int, j: int):
     return acc
 
 
+def _mask_past_total(seg, total):
+    """Zero seg word slots at or past the group's word ``total``.
+
+    Slots past a group's stream gather garbage, NOT always zeros: the
+    binary search clamps them to the group's last tile with ``wm`` capped
+    at 7, so when that tile has depth 8 (planes 14/15 written) they pick
+    up its last pair — real data the roll-splice would OR over the NEXT
+    group's stream.  (A depth-8 tile in lane 127 of a non-full group is
+    all it takes; the round-2 "gathers from zeroed planes, harmless"
+    assumption only holds for last-tile depth < 8.)  ``total`` may be a
+    traced scalar (SMEM meta entry or vector-reduce extract).
+    """
+    R = seg.shape[0]
+    wq = _rows((R, LANES)) * LANES + _lanes((R, LANES))
+    return jnp.where(wq < total, seg, jnp.uint32(0))
+
+
 def _compact_group_pairs(words_ref, depth, s, ploff, total, pair_rows: int = 8):
     """Pair-space compaction of group s → (seg (2·pair_rows,128) u32, total).
 
@@ -87,6 +104,9 @@ def _compact_group_pairs(words_ref, depth, s, ploff, total, pair_rows: int = 8):
     actual word total is known (see ``pallas_band.ENCODE_COMPACT_CLASSES``).
 
     ``ploff`` is the exclusive lane-cumsum of ``depth`` (pair offsets).
+    ``total`` (the group's u32-word count, traced scalar) gates the
+    past-stream mask (:func:`_mask_past_total`); None skips it (ONLY safe
+    when the caller never splices the tail, e.g. ablation keep-alives).
     """
     PR = pair_rows
     ploff_b = jnp.broadcast_to(ploff, (PR, LANES))
@@ -108,10 +128,14 @@ def _compact_group_pairs(words_ref, depth, s, ploff, total, pair_rows: int = 8):
     idx = jnp.where((_rows((2 * PR, LANES)) & 1) == 1, 64 + (l2 >> 1), l2 >> 1)
     vlo = jnp.take_along_axis(lo2, idx, axis=-1)
     vhi = jnp.take_along_axis(hi2, idx, axis=-1)
-    return jnp.where((l2 & 1) == 1, vhi, vlo), total
+    seg = jnp.where((l2 & 1) == 1, vhi, vlo)
+    if total is not None:
+        seg = _mask_past_total(seg, total)
+    return seg, total
 
 
-def _compact_chunk_pairs(words_ref, c0: int, n: int, ploff_all, pair_rows: int = 8):
+def _compact_chunk_pairs(words_ref, c0: int, n: int, ploff_all, pair_rows: int = 8,
+                         totals=None):
     """Pair-space compaction of ``n`` consecutive groups [c0, c0+n) in ONE
     batch of (pair_rows·n, 128)-shaped ops → (2·pair_rows·n, 128) u32 word
     segments, group-major.
@@ -157,11 +181,20 @@ def _compact_chunk_pairs(words_ref, c0: int, n: int, ploff_all, pair_rows: int =
     idx = jnp.where((_rows((2 * R, LANES)) & 1) == 1, 64 + (l2 >> 1), l2 >> 1)
     vlo = jnp.take_along_axis(lo2, idx, axis=-1)
     vhi = jnp.take_along_axis(hi2, idx, axis=-1)
-    return jnp.where((l2 & 1) == 1, vhi, vlo)
+    seg_all = jnp.where((l2 & 1) == 1, vhi, vlo)
+    if totals is not None:
+        rows2 = _rows((2 * R, LANES))
+        wq_in = (rows2 % (2 * PR)) * LANES + l2
+        tot_b = seg_all.astype(jnp.int32) * 0
+        for i in range(n):
+            grp_rows = (rows2 >= 2 * PR * i) & (rows2 < 2 * PR * (i + 1))
+            tot_b = jnp.where(grp_rows, totals[i], tot_b)
+        seg_all = jnp.where(wq_in < tot_b, seg_all, jnp.uint32(0))
+    return seg_all
 
 
 def _compact_chunk_interleaved(words_ref, c0: int, n: int, ploff_all,
-                               pair_rows: int = 8):
+                               pair_rows: int = 8, totals=None):
     """Pair-space compaction of ``n`` consecutive groups [c0, c0+n) with the
     binary searches interleaved STEP-MAJOR → list of n (2·pair_rows, 128)
     u32 word segments.
@@ -212,7 +245,10 @@ def _compact_chunk_interleaved(words_ref, c0: int, n: int, ploff_all,
             hi2 = jnp.repeat(hi_v, 2, axis=0)
             vlo = jnp.take_along_axis(lo2, idx, axis=-1)
             vhi = jnp.take_along_axis(hi2, idx, axis=-1)
-            segs.append(jnp.where((l2 & 1) == 1, vhi, vlo))
+            seg = jnp.where((l2 & 1) == 1, vhi, vlo)
+            if totals is not None:
+                seg = _mask_past_total(seg, totals[s - c0])
+            segs.append(seg)
     return segs
 
 

@@ -374,6 +374,11 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
         _keep_flush(words_ref[0] | words_ref[15])
         return
 
+    def g_total(s):
+        """Group s's u32-word count (SMEM scalar — gates the past-stream
+        compaction mask, see kernel_common._mask_past_total)."""
+        return meta_ref[mbase + 2 + s] - meta_ref[mbase + 1 + s]
+
     def compact(s):
         """Group s's compacted (16,128) word segment, pair-row-classed on
         the group's SMEM word total when ENCODE_COMPACT_CLASSES is set (the
@@ -382,16 +387,15 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
         their words are all-zero, so the compacted segment is zero)."""
         ploff = ploff_all[s : s + 1, :]
         if not ENCODE_COMPACT_CLASSES:
-            seg, _ = _compact_group_pairs(words_ref, depth, s, ploff, None)
+            seg, _ = _compact_group_pairs(words_ref, depth, s, ploff, g_total(s))
             return seg
-        total_s = meta_ref[mbase + 2 + s] - meta_ref[mbase + 1 + s]
-        need = (total_s + 255) >> 8  # pair rows: 256 u32 words each
+        need = (g_total(s) + 255) >> 8  # pair rows: 256 u32 words each
         prev = -1
         for PR in ENCODE_COMPACT_CLASSES:
             @pl.when((need > prev) & (need <= PR))
             def _(PR=PR):
                 seg, _ = _compact_group_pairs(
-                    words_ref, depth, s, ploff, None, pair_rows=PR
+                    words_ref, depth, s, ploff, g_total(s), pair_rows=PR
                 )
                 if PR < 8:
                     seg = jnp.concatenate(
@@ -405,11 +409,16 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
 
     def _seg(seg_all, i):
         """Group i-of-chunk's (16, 128) word segment out of the batched
-        compaction value, zero-padded past 2·PR rows (slots beyond a group's
-        word total gather from the zeroed word planes, so the OR-splice sees
-        zeros either way).  The batched value stays register/VMEM-resident —
-        an explicit scratch round-trip measured +0.24 ms/33 MB (it
-        serializes against Mosaic's software pipelining)."""
+        compaction value, zero-padded past 2·PR rows.  Slots beyond a
+        group's word total are zeroed by the compaction's past-stream mask
+        (kernel_common._mask_past_total) — they gather the group's LAST
+        tile with wm capped at 7, which is real data whenever that tile
+        has depth 8, NOT zeros (round-3 fix; the prior "zeroed planes"
+        assumption silently corrupted the next group's stream head for
+        partial groups ending in a depth-8 tile).  The batched value stays
+        register/VMEM-resident — an explicit scratch round-trip measured
+        +0.24 ms/33 MB (it serializes against Mosaic's software
+        pipelining)."""
         seg = seg_all[2 * PR * i : 2 * PR * i + 2 * PR]
         if PR == 8:
             return seg
@@ -424,9 +433,10 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
     def chunk_segs(c0, ncg):
         """The chunk's ncg (16, 128) word segments, by the configured
         compaction strategy (production: step-major interleaved searches)."""
+        totals = [g_total(s) for s in range(c0, c0 + ncg)]
         if interleaved:
             segs = _compact_chunk_interleaved(
-                words_ref, c0, ncg, ploff_all, pair_rows=PR
+                words_ref, c0, ncg, ploff_all, pair_rows=PR, totals=totals
             )
             if PR < 8:
                 segs = [
@@ -438,7 +448,7 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
             return segs
         if batched:
             seg_all = _compact_chunk_pairs(
-                words_ref, c0, ncg, ploff_all, pair_rows=PR
+                words_ref, c0, ncg, ploff_all, pair_rows=PR, totals=totals
             )
             return [_seg(seg_all, i) for i in range(ncg)]
         return [compact(s) for s in range(c0, c0 + ncg)]

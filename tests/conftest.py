@@ -16,3 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The interpreter-mode Pallas kernels compile to huge CPU programs (minutes
+# each on a small runner); persist compiled artifacts so repeat runs of the
+# suite pay seconds instead.  Safe across code changes: the cache key is the
+# HLO, so any kernel change recompiles.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_dbde_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

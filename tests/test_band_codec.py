@@ -19,11 +19,24 @@ def interpret_mode(monkeypatch):
     monkeypatch.setattr(pl, "pallas_call", interp)
 
 
+_CODECS: dict = {}
+
+
+def get_codec(height, width, backend="band"):
+    """Shared codec instances: jit caches live on the instance, so reusing
+    one across tests of the same geometry saves minutes of interpreter-mode
+    compile per test on a small CI runner."""
+    key = (height, width, backend)
+    if key not in _CODECS:
+        from dbde_tpu.codec import DbdeCodec
+
+        _CODECS[key] = DbdeCodec(height=height, width=width, backend=backend)
+    return _CODECS[key]
+
+
 @pytest.fixture()
 def codec():
-    from dbde_tpu.codec import DbdeCodec
-
-    return DbdeCodec(height=40, width=1024, backend="band")
+    return get_codec(40, 1024)
 
 
 def test_band_codec_bytes_parity(codec):
@@ -80,6 +93,68 @@ def test_band_codec_odd_width_multiblock():
     assert codec.backend == "band"
     enc = codec.encode(frames)
     assert pack_frames_bytes(enc)[0][20:] == ref.pack_image(frames[0])
+    out = codec.decode(enc.depths, enc.mins, enc.payload)
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_band_codec_partial_group_depth8_tail():
+    """Round-3 compaction-mask regression (kernel_common._mask_past_total).
+
+    A lane-group with leading depth-0 tiles and a depth-8 LAST tile: the
+    compaction slots past the group's word total clamp to that last tile
+    with wm capped at 7 — real plane-14/15 data, not zeros — and the
+    roll-splice OR'd it over the next group's stream head (16*F corrupt
+    words for F flat tiles).  Camera/random/flat bench content never forms
+    this pattern, so only this test guards it."""
+    from dbde_tpu.codec import pack_frames_bytes
+
+    rng = np.random.default_rng(3)
+    H, W = 32, 1024  # 4 lane-groups, one per tile row
+    frames = rng.integers(0, 256, (1, H, W)).astype(np.uint8)
+    codecs = [get_codec(H, W, b) for b in ("band", "tiles")]
+    for F in (1, 80, 127):  # flat leading tiles in group 1
+        img = frames.copy()
+        img[0, 8:16, : 8 * F] = 77
+        for codec in codecs:  # same codec across F: shapes equal, jit cached
+            enc = codec.encode(img)
+            assert pack_frames_bytes(enc)[0][20:] == ref.pack_image(img[0]), (
+                f"{codec.backend} F={F}")
+            out = codec.decode(enc.depths, enc.mins, enc.payload)
+            np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("geom", [(520, 128), (40, 53)])
+def test_band_codec_row_folding(geom):
+    """Narrow widths fold k consecutive tile rows per kernel row
+    (codec.band_fold) — byte-stream invariant, multi-super-row (k=8),
+    ragged last fold, ragged width (k=16)."""
+    from dbde_tpu.codec import band_fold, pack_frames_bytes
+
+    H, W = geom
+    Wp, k = band_fold(W)
+    assert k > 1 and k * Wp == 1024
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (2, H, W)).astype(np.uint8)
+    frames[0, : H // 3] = 77  # flat head: depth-0 tiles inside real folds
+    codec = get_codec(H, W)
+    enc = codec.encode(frames)
+    recs = pack_frames_bytes(enc)
+    for b in range(2):
+        assert recs[b][20:] == ref.pack_image(frames[b])
+    out = codec.decode(enc.depths, enc.mins, enc.payload)
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_band_codec_row_folding_device_input():
+    """Device-array inputs take the XLA pad+fold path in _to_img32 (same
+    geometry as the folding test above — the host-path codec's jit cache
+    does not apply because the traced input placement differs)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(12)
+    frames = (rng.integers(0, 200, (2, 40, 53)) + 9).astype(np.uint8)
+    codec = get_codec(40, 53)
+    enc = codec.encode(jnp.asarray(frames))
     out = codec.decode(enc.depths, enc.mins, enc.payload)
     np.testing.assert_array_equal(out, frames)
 
