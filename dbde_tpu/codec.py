@@ -50,8 +50,38 @@ class EncodedBatch:
 
     depths: jax.Array  # (B, T) u8
     mins: jax.Array  # (B, T) u8
-    payload: jax.Array  # (B, 16*T) u32; contents past 2*n64 are unspecified
+    # band backend: (B, R, 128) u32 in the payload kernel's native shape —
+    # kept unflattened so decode feeds the kernel with zero relayout: the
+    # flat contract's pad+copy of the stream buffer measured 12% of decode
+    # device time at 8x2048² (58.7 → 66.8 Gpix/s removed).  Encode's
+    # matching slice-copy was already pipeline-hidden (A/B 0.951 vs
+    # 0.950 ms) — dropping it is neutral there.  xla/tiles backends: flat
+    # (B, 16*T) u32.  Either way only the first 2*n64 words per frame are
+    # meaningful; use payload_host() for a flat host view.
+    payload: jax.Array
     n64: jax.Array  # (B,) i32 — number of payload u64 words per frame
+    # set only by encode(defer_verify=True): the reduced-plane variant's
+    # depth bound.  The payload is only valid if max(depths) <= depth_bound;
+    # the caller MUST check (depths land on the host at serialization time
+    # anyway) and re-encode via encode_general() on violation.  None =
+    # unconditionally valid.
+    depth_bound: int | None = None
+
+    def payload_host(self, max_words: int | None = None) -> np.ndarray:
+        """Payload as a flat (B, S) u32 host array (S ≥ ``max_words`` when
+        given, rounded up to whole 128-lane rows for the kernel-shaped
+        band payload).  Device-slices the live prefix first so only
+        ~``max_words`` words per frame cross to the host; the reshape
+        itself is a free view."""
+        p = self.payload
+        if getattr(p, "ndim", 2) == 3:
+            if max_words is not None and max_words < p.shape[1] * p.shape[2]:
+                p = p[:, : -(-max_words // p.shape[2])]
+            a = np.asarray(p)
+            return a.reshape(a.shape[0], -1)
+        if max_words is not None and max_words < p.shape[1]:
+            p = p[:, :max_words]
+        return np.asarray(p)
 
 
 def _encode_fn(images: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -110,32 +140,119 @@ def _fold_rows(h_tiles: int, k: int) -> int:
     return -(-h_tiles // k) * k
 
 
-def _encode_fn_band(img32: jnp.ndarray, H: int, W: int):
+def to_band_img32(images, H: int, W: int):
+    """(B, H, W) u8 → padded+folded (B, Hf, Wk//4) u32 for the band
+    kernels (Wk = k*Wp, the 1024-multiple kernel width).
+
+    Columns pad per the format's edge rule up to the ragged tile
+    boundary (8*ceil(W/8)), then constant zeros to Wp (depth-0 pad
+    tiles); rows zero-pad to whole folds and whole kernel grid blocks;
+    narrow frames fold k consecutive tile rows per kernel row
+    (:func:`band_fold` — byte-stream invariant).  numpy inputs
+    reinterpret for free on the host; device arrays pay one XLA pad +
+    bitcast.  Also serves per-shard in the sharded codec with
+    H = 8·(tile rows per shard).
+    """
+    from .ops import pallas_band as pb
+
+    h8, w8 = (8 * d for d in tile_grid(W, H))  # format edge-pad boundary
+    Wp, k = band_fold(W)
+    Wk = k * Wp
+    hf8 = 8 * (_fold_rows(h8 // 8, k) // k)  # folded rows before blocks
+    hpf8 = pb.pad_rows(hf8, Wk)  # folded rows padded to grid blocks
+    hp8 = (hf8 * k)  # unfolded rows incl. fold padding
+    if isinstance(images, np.ndarray):
+        images = np.ascontiguousarray(images)
+        B = images.shape[0]
+        if w8 != W:  # edge rule: replicate rightward within ragged tiles
+            images = np.concatenate(
+                [images, np.repeat(images[:, :, -1:], w8 - W, axis=2)], axis=2
+            )
+        if h8 != H:  # edge rule: replicate the last row within ragged tiles
+            images = np.concatenate(
+                [images, np.repeat(images[:, -1:, :], h8 - H, axis=1)], axis=1
+            )
+        if Wp != w8:  # constant pad tiles beyond the real grid: no payload
+            images = np.concatenate(
+                [images, np.zeros((B, h8, Wp - w8), np.uint8)], axis=2
+            )
+        if hp8 != h8:  # zero tile rows completing the last fold
+            images = np.concatenate(
+                [images, np.zeros((B, hp8 - h8, Wp), np.uint8)], axis=1
+            )
+        if k > 1:  # fold: k consecutive tile rows side by side
+            images = np.ascontiguousarray(
+                images.reshape(B, hf8 // 8, k, 8, Wp)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(B, hf8, Wk)
+            )
+        if hpf8 != hf8:  # zero rows completing the kernel grid blocks
+            images = np.concatenate(
+                [images, np.zeros((B, hpf8 - hf8, Wk), np.uint8)], axis=1
+            )
+        return jnp.asarray(images.view(np.uint32))
+    images = jnp.asarray(images, jnp.uint8)
+    B = images.shape[0]
+    if w8 != W or h8 != H:
+        images = jnp.pad(images, ((0, 0), (0, h8 - H), (0, w8 - W)), mode="edge")
+    if Wp != w8 or hp8 != h8:
+        images = jnp.pad(images, ((0, 0), (0, hp8 - h8), (0, Wp - w8)))
+    if k > 1:
+        images = (
+            images.reshape(B, hf8 // 8, k, 8, Wp)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(B, hf8, Wk)
+        )
+    if hpf8 != hf8:
+        images = jnp.pad(images, ((0, 0), (0, hpf8 - hf8), (0, 0)))
+    x4 = images.reshape(B, hpf8, Wk // 4, 4)
+    return jax.lax.bitcast_convert_type(x4, jnp.uint32)
+
+
+def _encode_fn_band(img32: jnp.ndarray, H: int, W: int, mplanes: int = 8,
+                    interpret: bool = False):
     """img32 (B, Hf, 1024//4) u32 (edge/column-padded + row-folded, see
-    :meth:`DbdeCodec._to_img32`) → standard encode outputs."""
+    :meth:`DbdeCodec._to_img32`) → standard encode outputs plus the batch
+    max depth (the scalar behind the adaptive reduced-plane dispatch —
+    ``mplanes`` < 8 compiles a payload-kernel variant that is only correct
+    when every tile depth ≤ mplanes; maxd comes from phase A and is valid
+    regardless of the variant, so the caller can detect a misprediction).
+
+    ``H`` need not be the full frame height: the sharded codec
+    (parallel/sharding.py) runs this same adapter per shard with
+    H = 8·(tile rows per shard) — the fold and the byte stream are
+    invariant under that split because shards are contiguous tile-row
+    bands.  ``interpret`` runs the kernels in Pallas interpreter mode
+    (virtual CPU meshes)."""
     from .ops import pallas_band as pb
 
     B = img32.shape[0]
     h, w = tile_grid(W, H)
     Wp, k = band_fold(W)
     wpp = Wp // 8
-    d3, m3, payload = pb.encode_band_kernel(img32)
+    d3, m3, payload = pb.encode_band_kernel(img32, mplanes=mplanes,
+                                            interpret=interpret)
     tp = d3.shape[1] * pb.LANES
     hpf = tp // (k * wpp)  # folded (kernel) tile rows
     # unfold the grids: kernel row r' holds original tile rows k*r'..k*r'+k-1
     depths = d3.reshape(B, hpf * k, wpp)[:, :h, :w].reshape(B, h * w)
     mins = m3.reshape(B, hpf * k, wpp)[:, :h, :w].reshape(B, h * w)
     n64 = jnp.sum(depths.astype(jnp.int32), axis=-1)
-    flat = payload.reshape(B, -1)[:, : h * w * MAX_WORDS_PER_TILE]
-    return depths, mins, flat, n64
+    # the payload stays in the kernel's (B, R, 128) shape: flattening to
+    # (B, 16*T) forced a pad+relayout back on the decode side worth 12% of
+    # decode device time at 8x2048² (the encode-side slice-copy it also
+    # drops was pipeline-hidden — neutral).  Host serialization gets a flat
+    # view via EncodedBatch.payload_host() (free numpy reshape).
+    return depths, mins, payload, n64, jnp.max(d3)
 
 
 def _decode_fn_band(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray,
-                    H: int, W: int):
+                    H: int, W: int, interpret: bool = False):
     """→ img32 (B, H, ceil(W/4)) u32 (caller reinterprets bytes, trims ≤3 cols).
 
     Pad rows and whole pad u32 columns are sliced off on device so the
-    host transfer carries (almost) only real pixels."""
+    host transfer carries (almost) only real pixels.  Like the encode
+    adapter, also serves per-shard in the sharded codec (H = shard rows)."""
     from .ops import pallas_band as pb
 
     B, T = depths.shape
@@ -149,12 +266,23 @@ def _decode_fn_band(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray
     # embed the real (h, w) tile grid into the padded folded grid
     d = jnp.zeros((B, hpf * k, wpp), jnp.uint8).at[:, :h, :w].set(depths.reshape(B, h, w))
     m = jnp.zeros((B, hpf * k, wpp), jnp.uint8).at[:, :h, :w].set(mins.reshape(B, h, w))
-    p = jnp.pad(payload, ((0, 0), (0, rows * pb.LANES - payload.shape[1])))
+    if payload.ndim == 3:
+        # kernel-shaped (B, R, 128) straight from the band encode: zero
+        # relayout (the flat path below costs a pad + full-stream copy)
+        assert payload.shape[1:] == (rows, pb.LANES), (payload.shape, rows)
+        p3 = payload
+    elif payload.shape[1] >= rows * pb.LANES:
+        # oversized flat buffers carry no live words past the stream end
+        p3 = payload[:, : rows * pb.LANES].reshape(B, rows, pb.LANES)
+    else:
+        p = jnp.pad(payload, ((0, 0), (0, rows * pb.LANES - payload.shape[1])))
+        p3 = p.reshape(B, rows, pb.LANES)
     img32 = pb.decode_band_kernel(
         d.reshape(B, tp // pb.LANES, pb.LANES),
         m.reshape(B, tp // pb.LANES, pb.LANES),
-        p.reshape(B, rows, pb.LANES),
+        p3,
         Wk,
+        interpret=interpret,
     )
     if k > 1:  # unfold: (B, Hf, Wk//4) → (B, Hf*k, Wp//4)
         Hf = img32.shape[1]
@@ -210,7 +338,8 @@ class DbdeCodec:
     >>> out = codec.decode(enc.depths, enc.mins, enc.payload)
     """
 
-    def __init__(self, height: int, width: int, backend: str = "auto"):
+    def __init__(self, height: int, width: int, backend: str = "auto",
+                 adaptive: bool | None = None):
         self.height = int(height)
         self.width = int(width)
         h, w = tile_grid(self.width, self.height)
@@ -230,7 +359,25 @@ class DbdeCodec:
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         if backend == "band":
-            self._encode = jax.jit(partial(_encode_fn_band, H=self.height, W=self.width))
+            # adaptive reduced-plane encode (see encode()): sticky dispatch
+            # between the general payload kernel (mplanes=8) and a reduced
+            # variant that skips candidate planes the batch's max depth
+            # proves dead (camera content is depth <= 5 → 3 of 8 candidate
+            # gather/select stages vanish).  _encode always points at the
+            # currently-predicted variant so benches measure the real path.
+            # None = auto: on for real TPU backends, off on CPU (the
+            # interpreter-mode test suite must not pay a second per-codec
+            # kernel compile; test_band_codec has a dedicated adaptive test)
+            if adaptive is None:
+                try:
+                    adaptive = jax.default_backend().startswith(("tpu", "axon"))
+                except Exception:
+                    adaptive = False
+            self._adaptive = bool(adaptive)
+            self._encode_v: dict[int, object] = {}
+            self._mplanes = 8
+            self._last_maxd = None
+            self._encode = self._encode_variant(8)
             self._decode = jax.jit(partial(_decode_fn_band, H=self.height, W=self.width))
             self._roundtrip = jax.jit(self._roundtrip_band)
         else:
@@ -240,6 +387,18 @@ class DbdeCodec:
             self._encode = jax.jit(enc)
             self._decode = jax.jit(partial(dec, H=self.height, W=self.width))
             self._roundtrip = jax.jit(self._roundtrip_fn)
+
+    # reduced-plane variant tier: batches with max depth <= ADAPT_MPLANES
+    # use the reduced payload kernel (one extra compile, cached per codec)
+    ADAPT_MPLANES = 5
+
+    def _encode_variant(self, mp: int):
+        fn = self._encode_v.get(mp)
+        if fn is None:
+            fn = self._encode_v[mp] = jax.jit(
+                partial(_encode_fn_band, H=self.height, W=self.width, mplanes=mp)
+            )
+        return fn
 
     def _check(self, images) -> jnp.ndarray:
         images = jnp.asarray(images, dtype=jnp.uint8)
@@ -253,75 +412,19 @@ class DbdeCodec:
         return images, single
 
     def _to_img32(self, images):
-        """(B, H, W) u8 → padded+folded (B, Hf, Wk//4) u32 for the band
-        kernels (Wk = k*Wp, the 1024-multiple kernel width).
+        return to_band_img32(images, self.height, self.width)
 
-        Columns pad per the format's edge rule up to the ragged tile
-        boundary (8*ceil(W/8)), then constant zeros to Wp (depth-0 pad
-        tiles); rows zero-pad to whole folds and whole kernel grid blocks;
-        narrow frames fold k consecutive tile rows per kernel row
-        (:func:`band_fold` — byte-stream invariant).  numpy inputs
-        reinterpret for free on the host; device arrays pay one XLA pad +
-        bitcast.
-        """
-        from .ops import pallas_band as pb
+    def encode(self, images, defer_verify: bool = False) -> EncodedBatch:
+        """(B, H, W) or (H, W) u8 frames → :class:`EncodedBatch`.
 
-        H, W = self.height, self.width
-        h8, w8 = (8 * d for d in tile_grid(W, H))  # format edge-pad boundary
-        Wp, k = band_fold(W)
-        Wk = k * Wp
-        hf8 = 8 * (_fold_rows(h8 // 8, k) // k)  # folded rows before blocks
-        hpf8 = pb.pad_rows(hf8, Wk)  # folded rows padded to grid blocks
-        hp8 = (hf8 * k)  # unfolded rows incl. fold padding
-        if isinstance(images, np.ndarray):
-            images = np.ascontiguousarray(images)
-            B = images.shape[0]
-            if w8 != W:  # edge rule: replicate rightward within ragged tiles
-                images = np.concatenate(
-                    [images, np.repeat(images[:, :, -1:], w8 - W, axis=2)], axis=2
-                )
-            if h8 != H:  # edge rule: replicate the last row within ragged tiles
-                images = np.concatenate(
-                    [images, np.repeat(images[:, -1:, :], h8 - H, axis=1)], axis=1
-                )
-            if Wp != w8:  # constant pad tiles beyond the real grid: no payload
-                images = np.concatenate(
-                    [images, np.zeros((B, h8, Wp - w8), np.uint8)], axis=2
-                )
-            if hp8 != h8:  # zero tile rows completing the last fold
-                images = np.concatenate(
-                    [images, np.zeros((B, hp8 - h8, Wp), np.uint8)], axis=1
-                )
-            if k > 1:  # fold: k consecutive tile rows side by side
-                images = np.ascontiguousarray(
-                    images.reshape(B, hf8 // 8, k, 8, Wp)
-                    .transpose(0, 1, 3, 2, 4)
-                    .reshape(B, hf8, Wk)
-                )
-            if hpf8 != hf8:  # zero rows completing the kernel grid blocks
-                images = np.concatenate(
-                    [images, np.zeros((B, hpf8 - hf8, Wk), np.uint8)], axis=1
-                )
-            return jnp.asarray(images.view(np.uint32))
-        images = jnp.asarray(images, jnp.uint8)
-        B = images.shape[0]
-        if w8 != W or h8 != H:
-            images = jnp.pad(images, ((0, 0), (0, h8 - H), (0, w8 - W)), mode="edge")
-        if Wp != w8 or hp8 != h8:
-            images = jnp.pad(images, ((0, 0), (0, hp8 - h8), (0, Wp - w8)))
-        if k > 1:
-            images = (
-                images.reshape(B, hf8 // 8, k, 8, Wp)
-                .transpose(0, 1, 3, 2, 4)
-                .reshape(B, hf8, Wk)
-            )
-        if hpf8 != hf8:
-            images = jnp.pad(images, ((0, 0), (0, hpf8 - hf8), (0, 0)))
-        x4 = images.reshape(B, hpf8, Wk // 4, 4)
-        return jax.lax.bitcast_convert_type(x4, jnp.uint32)
-
-    def encode(self, images) -> EncodedBatch:
-        """(B, H, W) or (H, W) u8 frames → :class:`EncodedBatch`."""
+        ``defer_verify``: skip the inline depth-bound verification sync of
+        the adaptive reduced-plane variant and return a batch whose
+        ``depth_bound`` field the caller must check against the host-side
+        depths before trusting the payload (re-encode via
+        :meth:`encode_general` on violation).  This keeps encode fully
+        asynchronous for pipelined writers — the inline verify would block
+        until the batch's own device program finished, serializing the
+        writer's dispatch-ahead overlap."""
         if self.backend == "band":
             if isinstance(images, np.ndarray):
                 images = np.asarray(images, dtype=np.uint8)
@@ -334,10 +437,56 @@ class DbdeCodec:
                     )
             else:
                 images, _ = self._check(images)
-            depths, mins, payload, n64 = self._encode(self._to_img32(images))
+            img32 = self._to_img32(images)
+            # sticky adaptive dispatch: pick the variant from the PREVIOUS
+            # batch's max depth (a finished device scalar — reading it does
+            # not wait on new work), encode, then verify the depth bound
+            # whenever the reduced variant ran (this sync is the price of
+            # the reduced kernel; the general variant stays fully async).
+            # A misprediction re-encodes with the general kernel — rare for
+            # the fixed-camera use case the format targets.
+            if self._adaptive and self._last_maxd is not None:
+                want = (
+                    self.ADAPT_MPLANES
+                    if int(self._last_maxd) <= self.ADAPT_MPLANES
+                    else 8
+                )
+                if want != self._mplanes:
+                    self._mplanes = want
+                    self._encode = self._encode_variant(want)
+            depths, mins, payload, n64, maxd = self._encode(img32)
+            bound = self._mplanes if self._mplanes < 8 else None
+            if bound is not None and not defer_verify:
+                if int(maxd) > bound:
+                    self._mplanes = 8
+                    self._encode = self._encode_variant(8)
+                    depths, mins, payload, n64, maxd = self._encode(img32)
+                bound = None
+            if self._adaptive:
+                self._last_maxd = maxd
+            return EncodedBatch(depths=depths, mins=mins, payload=payload,
+                                n64=n64, depth_bound=bound)
+        images, _ = self._check(images)
+        depths, mins, payload, n64 = self._encode(images)
+        return EncodedBatch(depths=depths, mins=mins, payload=payload, n64=n64)
+
+    def encode_general(self, images) -> EncodedBatch:
+        """Encode with the always-correct general kernel, bypassing the
+        adaptive dispatch (the ``defer_verify`` caller's misprediction
+        fallback).  Also flips the sticky prediction back to general."""
+        if self.backend != "band":
+            return self.encode(images)
+        if isinstance(images, np.ndarray):
+            images = np.asarray(images, dtype=np.uint8)
+            if images.ndim == 2:
+                images = images[None]
         else:
             images, _ = self._check(images)
-            depths, mins, payload, n64 = self._encode(images)
+        self._mplanes = 8
+        self._encode = self._encode_variant(8)
+        depths, mins, payload, n64, maxd = self._encode(self._to_img32(images))
+        if self._adaptive:
+            self._last_maxd = maxd
         return EncodedBatch(depths=depths, mins=mins, payload=payload, n64=n64)
 
     def decode_dispatch(self, depths, mins, payload):
@@ -370,7 +519,7 @@ class DbdeCodec:
         return out, n64
 
     def _roundtrip_band(self, img32):
-        depths, mins, payload, n64 = _encode_fn_band(img32, self.height, self.width)
+        depths, mins, payload, n64, _ = _encode_fn_band(img32, self.height, self.width)
         out32 = _decode_fn_band(depths, mins, payload, self.height, self.width)
         return out32, n64
 
@@ -404,7 +553,7 @@ def pack_frames_bytes(enc: EncodedBatch, indices=None, elapsed_ns=None) -> list[
     n64 = np.asarray(enc.n64)
     # transfer only the live payload prefix (the buffer is worst-case sized)
     mx = 2 * int(n64.max()) if len(n64) else 0
-    payload = np.asarray(enc.payload[:, :mx]) if mx < enc.payload.shape[1] else np.asarray(enc.payload)
+    payload = enc.payload_host(mx)
     B, T = depths.shape
     out = []
     count = struct.pack("<i", T)

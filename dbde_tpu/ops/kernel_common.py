@@ -88,7 +88,8 @@ def _mask_past_total(seg, total):
     return jnp.where(wq < total, seg, jnp.uint32(0))
 
 
-def _compact_group_pairs(words_ref, depth, s, ploff, total, pair_rows: int = 8):
+def _compact_group_pairs(words_ref, depth, s, ploff, total, pair_rows: int = 8,
+                         mplanes: int = 8):
     """Pair-space compaction of group s → (seg (2·pair_rows,128) u32, total).
 
     Every tile's payload piece starts at an even word offset (offsets are a
@@ -107,6 +108,14 @@ def _compact_group_pairs(words_ref, depth, s, ploff, total, pair_rows: int = 8):
     ``total`` (the group's u32-word count, traced scalar) gates the
     past-stream mask (:func:`_mask_past_total`); None skips it (ONLY safe
     when the caller never splices the tail, e.g. ablation keep-alives).
+
+    ``mplanes`` (trace-time) bounds the candidate pair planes scanned: with
+    every tile depth ≤ mplanes, planes ≥ mplanes are never selected (wm <
+    depth) and skipping them removes their gathers — the candidate stage is
+    the compaction's dominant gather-row cost.  Callers must guarantee the
+    depth bound (see pallas_band's batch-max dispatch).  Past-total slots
+    clamp wm to 7, which under mplanes < 8 selects nothing → zeros, i.e.
+    the :func:`_mask_past_total` invariant holds by construction there too.
     """
     PR = pair_rows
     ploff_b = jnp.broadcast_to(ploff, (PR, LANES))
@@ -115,7 +124,7 @@ def _compact_group_pairs(words_ref, depth, s, ploff, total, pair_rows: int = 8):
     wm = jnp.minimum(pq - jnp.take_along_axis(ploff_b, tile_of, axis=-1), 7)
     lo = jnp.zeros((PR, LANES), jnp.uint32)
     hi = jnp.zeros((PR, LANES), jnp.uint32)
-    for m in range(8):
+    for m in range(mplanes):
         sel = wm == m
         srcl = jnp.broadcast_to(words_ref[2 * m][s : s + 1, :], (PR, LANES))
         srch = jnp.broadcast_to(words_ref[2 * m + 1][s : s + 1, :], (PR, LANES))
@@ -135,7 +144,7 @@ def _compact_group_pairs(words_ref, depth, s, ploff, total, pair_rows: int = 8):
 
 
 def _compact_chunk_pairs(words_ref, c0: int, n: int, ploff_all, pair_rows: int = 8,
-                         totals=None):
+                         totals=None, mplanes: int = 8):
     """Pair-space compaction of ``n`` consecutive groups [c0, c0+n) in ONE
     batch of (pair_rows·n, 128)-shaped ops → (2·pair_rows·n, 128) u32 word
     segments, group-major.
@@ -166,7 +175,7 @@ def _compact_chunk_pairs(words_ref, c0: int, n: int, ploff_all, pair_rows: int =
     wm = jnp.minimum(pq - jnp.take_along_axis(ploff_b, tile_of, axis=-1), 7)
     lo = jnp.zeros((R, LANES), jnp.uint32)
     hi = jnp.zeros((R, LANES), jnp.uint32)
-    for m in range(8):
+    for m in range(mplanes):
         sel = wm == m
         srcl = jnp.repeat(words_ref[2 * m][c0 : c0 + n, :], PR, axis=0)
         srch = jnp.repeat(words_ref[2 * m + 1][c0 : c0 + n, :], PR, axis=0)
@@ -194,7 +203,8 @@ def _compact_chunk_pairs(words_ref, c0: int, n: int, ploff_all, pair_rows: int =
 
 
 def _compact_chunk_interleaved(words_ref, c0: int, n: int, ploff_all,
-                               pair_rows: int = 8, totals=None):
+                               pair_rows: int = 8, totals=None,
+                               mplanes: int = 8):
     """Pair-space compaction of ``n`` consecutive groups [c0, c0+n) with the
     binary searches interleaved STEP-MAJOR → list of n (2·pair_rows, 128)
     u32 word segments.
@@ -235,7 +245,7 @@ def _compact_chunk_interleaved(words_ref, c0: int, n: int, ploff_all,
             wm = jnp.minimum(pq - jnp.take_along_axis(ploffs[i], los[i], axis=-1), 7)
             lo_v = jnp.zeros((PR, LANES), jnp.uint32)
             hi_v = jnp.zeros((PR, LANES), jnp.uint32)
-            for m in range(8):
+            for m in range(mplanes):
                 sel = wm == m
                 srcl = jnp.broadcast_to(words_ref[2 * m][s : s + 1, :], (PR, LANES))
                 srch = jnp.broadcast_to(words_ref[2 * m + 1][s : s + 1, :], (PR, LANES))
@@ -252,7 +262,11 @@ def _compact_chunk_interleaved(words_ref, c0: int, n: int, ploff_all,
     return segs
 
 
-INTERLEAVE_WIDTH = 4  # groups whose binary searches run step-major together
+INTERLEAVE_WIDTH = 4  # groups whose binary searches run step-major together.
+# Width 8 with everything interleaved spills vregs (33.1 -> 28.7 Gpix/s
+# whole-encode); search-only widths 6/8 re-probed at mplanes=5 (half the
+# candidate-stage register pressure) still lose slightly (0.851/0.852 vs
+# 0.842 ms payload kernel, tools/probe_interleave.py) — 4 is the plateau.
 
 
 def _compact_group(words_ref, depth, s, loff=None, total=None):

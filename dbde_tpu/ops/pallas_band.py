@@ -99,7 +99,10 @@ ENCODE_COMPACT_CLASSES = None  # optional (2, 4, 8): pair-row classes for
 
 
 def payload_rows(tp: int) -> int:
-    return tp * 16 // LANES + STAGE_ROWS + 8
+    """Payload buffer rows: worst-case stream + slack for the largest
+    staged-window DMA overrun (encode flushes STAGE_ROWS at the last chunk
+    base; decode reads dec_stage_rows at it)."""
+    return tp * 16 // LANES + max(STAGE_ROWS, dec_stage_rows(DEC_GROUPS_PER_STAGE)) + 8
 
 
 def _or_fold_rows(v):
@@ -312,15 +315,22 @@ def encode_depths_kernel(img32: jnp.ndarray, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
-                    img_ref, depths_ref, mins_ref, payload_ref, carry_ref,
-                    words_ref, stage_ref, seg_ref, sem):
+def _payload_kernel(groups_row, bands, nent, pair_rows, mplanes, ablate_stage,
+                    meta_ref, img_ref, depths_ref, mins_ref, payload_ref,
+                    carry_ref, words_ref, stage_ref, seg_ref, sems):
     """``pair_rows`` (trace-time) bounds every lane-group's stream at
     ``256·pair_rows`` u32 words.  Production always uses 8: reduced variants
     measured SLOWER on v5e (1.488 vs 1.273 ms at pair_rows=5 — non-pow2
     sublane-block shapes lower worse than the element saving; see the
     DECODE_CHAIN_VARIANTS comment).  The parameter stays for experiments and
     its parity is pinned by tests.
+
+    ``mplanes`` (trace-time) bounds every tile's depth in the batch: the
+    pack loop and the compaction candidate scan skip planes ≥ mplanes
+    entirely — statically, so Mosaic's schedule stays intact (unlike the
+    per-group ``pl.when`` classes, a measured 3x loss).  The caller
+    dispatches on the batch's actual max depth (see encode_band_kernel);
+    8 = the general kernel, always correct.
 
     ``ablate_stage`` (trace-time; None in production) truncates the kernel
     after stage N for per-stage cost profiling (tools/ablate_band.py): 0 =
@@ -338,9 +348,11 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
         """OR-reduce v to one row, broadcast over the stage buffer, one DMA
         (keeps every input to v alive through the DMA side effect)."""
         v1 = _or_fold_rows(v)
-        stage_ref[...] = jnp.broadcast_to(v1, (STAGE_ROWS, LANES))
+        stage_ref[...] = jnp.broadcast_to(v1, (2 * STAGE_ROWS, LANES))
         dma = pltpu.make_async_copy(
-            stage_ref, payload_ref.at[b, pl.ds(0, STAGE_ROWS), :], sem
+            stage_ref.at[pl.ds(0, STAGE_ROWS), :],
+            payload_ref.at[b, pl.ds(0, STAGE_ROWS), :],
+            sems.at[0],
         )
         dma.start()
         dma.wait()
@@ -361,9 +373,9 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
         _keep_flush(acc)
         return
 
-    for j in range(16):
+    for j in range(2 * mplanes):
         words_ref[j] = jnp.zeros((groups, LANES), jnp.uint32)
-    for k in range(1, 9):
+    for k in range(1, mplanes + 1):
         @pl.when((kmask & (1 << k)) != 0)
         def _(k=k):
             sel = depth == k
@@ -371,7 +383,7 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
                 words_ref[j] = jnp.where(sel, _pack_contributions(res, k, j), words_ref[j])
 
     if ablate_stage == 1:
-        _keep_flush(words_ref[0] | words_ref[15])
+        _keep_flush(words_ref[0] | words_ref[2 * mplanes - 1])
         return
 
     def g_total(s):
@@ -387,7 +399,8 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
         their words are all-zero, so the compacted segment is zero)."""
         ploff = ploff_all[s : s + 1, :]
         if not ENCODE_COMPACT_CLASSES:
-            seg, _ = _compact_group_pairs(words_ref, depth, s, ploff, g_total(s))
+            seg, _ = _compact_group_pairs(words_ref, depth, s, ploff, g_total(s),
+                                          mplanes=mplanes)
             return seg
         need = (g_total(s) + 255) >> 8  # pair rows: 256 u32 words each
         prev = -1
@@ -436,7 +449,8 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
         totals = [g_total(s) for s in range(c0, c0 + ncg)]
         if interleaved:
             segs = _compact_chunk_interleaved(
-                words_ref, c0, ncg, ploff_all, pair_rows=PR, totals=totals
+                words_ref, c0, ncg, ploff_all, pair_rows=PR, totals=totals,
+                mplanes=mplanes,
             )
             if PR < 8:
                 segs = [
@@ -448,7 +462,8 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
             return segs
         if batched:
             seg_all = _compact_chunk_pairs(
-                words_ref, c0, ncg, ploff_all, pair_rows=PR, totals=totals
+                words_ref, c0, ncg, ploff_all, pair_rows=PR, totals=totals,
+                mplanes=mplanes,
             )
             return [_seg(seg_all, i) for i in range(ncg)]
         return [compact(s) for s in range(c0, c0 + ncg)]
@@ -465,8 +480,31 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
     # the cross-group carry row lives in a register across the block's
     # chunks (one VMEM read here, one write at block end) — the per-group
     # carry_ref round-trip serialized the splice loop
+    #
+    # Ping-pong staged flush: consecutive chunk windows OVERLAP at the
+    # boundary payload row (the next chunk's first row re-writes this
+    # chunk's partial last row with the carry spliced in), so two flushes
+    # must never be in flight at once — concurrent overlapping writes are
+    # an unordered WAW race.  Each chunk therefore computes its stage into
+    # the alternate slot, waits the PREVIOUS chunk's DMA, then starts its
+    # own: the ordering constraint holds while every flush's latency hides
+    # behind the next chunk's compaction (the prior start();wait() exposed
+    # the full round trip per chunk).  Parity is the global chunk index
+    # (gi·nchunks + ci) & 1 — static when nchunks is even, traced when odd
+    # (the decode window pipeline's scheme); the first chunk of the whole
+    # grid has nothing to wait on and the last drains its own DMA.
+    nchunks = -(-groups // GROUPS_PER_STAGE)
+    gi = b * nb + g
+
+    def _dma(slot, row_base):
+        return pltpu.make_async_copy(
+            stage_ref.at[pl.ds(slot * STAGE_ROWS, STAGE_ROWS), :],
+            payload_ref.at[b, pl.ds(row_base, STAGE_ROWS), :],
+            sems.at[slot],
+        )
+
     carry = carry_ref[...]
-    for c0 in range(0, groups, GROUPS_PER_STAGE):
+    for ci, c0 in enumerate(range(0, groups, GROUPS_PER_STAGE)):
         ncg = min(c0 + GROUPS_PER_STAGE, groups) - c0
         segs = chunk_segs(c0, ncg)
         row_base = meta_ref[mbase + 1 + c0] >> 7
@@ -488,23 +526,58 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, ablate_stage, meta_ref,
                 _lanes((1, LANES)) < (lc_new & (LANES - 1)), top, jnp.uint32(0)
             )
 
-        # flush: the partial last row is re-written (with the carry spliced
-        # in) by the next chunk's/block's DMA, so chunk overlap is harmless
-        stage_ref[...] = stage
-        dma = pltpu.make_async_copy(
-            stage_ref, payload_ref.at[b, pl.ds(row_base, STAGE_ROWS), :], sem
-        )
-        dma.start()
-        dma.wait()
+        p = (ci & 1) if nchunks % 2 == 0 else (gi + ci) & 1
+
+        def _flush(slot, row_base=row_base, stage=stage, first=(ci == 0)):
+            stage_ref[slot * STAGE_ROWS : (slot + 1) * STAGE_ROWS, :] = stage
+            # wait the previous chunk's flush on the other slot (the wait
+            # consumes the semaphore + transfer size; the descriptor's
+            # row_base does not matter for waiting)
+            if first:
+                @pl.when(gi > 0)
+                def _():
+                    _dma(1 - slot, row_base).wait()
+            else:
+                _dma(1 - slot, row_base).wait()
+            _dma(slot, row_base).start()
+
+        if isinstance(p, int):
+            _flush(p)
+        else:
+            @pl.when(p == 0)
+            def _():
+                _flush(0)
+
+            @pl.when(p == 1)
+            def _():
+                _flush(1)
+
+        if ci == nchunks - 1:
+            last = (b == pl.num_programs(0) - 1) & (g == nb - 1)
+            if isinstance(p, int):
+                @pl.when(last)
+                def _(row_base=row_base, p=p):
+                    _dma(p, row_base).wait()
+            else:
+                @pl.when(last & (p == 0))
+                def _(row_base=row_base):
+                    _dma(0, row_base).wait()
+
+                @pl.when(last & (p == 1))
+                def _(row_base=row_base):
+                    _dma(1, row_base).wait()
     carry_ref[...] = carry
 
 
 def encode_payload_kernel(meta: jnp.ndarray, img32: jnp.ndarray,
                           depths3: jnp.ndarray, mins3: jnp.ndarray,
                           interpret: bool = False, ablate_stage: int | None = None,
-                          pair_rows: int = 8):
+                          pair_rows: int = 8, mplanes: int = 8):
     """Encode phase B: compacted payload stream (B, R, 128) u32 from the
-    image block + phase-A depth/min grids + prefetched stream offsets."""
+    image block + phase-A depth/min grids + prefetched stream offsets.
+
+    ``mplanes`` < 8 compiles a reduced-plane variant that is only correct
+    when every tile depth in the batch is ≤ mplanes (see _payload_kernel)."""
     B, hp8, wq = img32.shape
     W = wq * 4
     bands, wp, groups_row, groups = _geometry(W)
@@ -513,7 +586,7 @@ def encode_payload_kernel(meta: jnp.ndarray, img32: jnp.ndarray,
     rows = payload_rows(tp)
     nent = groups + 2
     kern = functools.partial(_payload_kernel, groups_row, bands, nent,
-                             pair_rows, ablate_stage)
+                             pair_rows, mplanes, ablate_stage)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -527,10 +600,10 @@ def encode_payload_kernel(meta: jnp.ndarray, img32: jnp.ndarray,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((1, LANES), jnp.uint32),
-                pltpu.VMEM((16, groups, LANES), jnp.uint32),
-                pltpu.VMEM((STAGE_ROWS, LANES), jnp.uint32),
+                pltpu.VMEM((2 * mplanes, groups, LANES), jnp.uint32),
+                pltpu.VMEM((2 * STAGE_ROWS, LANES), jnp.uint32),
                 pltpu.VMEM((16, LANES), jnp.uint32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, rows, LANES), jnp.uint32),
@@ -576,6 +649,24 @@ ENCODE_BATCHED_COMPACTION = False  # batch the chunk's 8 per-group pair
 # costs more than the amortized binary-search latency it saves.  Kept behind
 # this flag with parity coverage so the negative result stays reproducible.
 
+DEC_GROUPS_PER_STAGE = 32  # lane-groups per decode staged window.  Encode's
+# GROUPS_PER_STAGE stays 8 (its flush granularity is register-resident
+# stage state); the decode windows are pure DMA staging, so fewer, larger
+# windows amortize the pipeline's serial wait points (the dma+meta ablation
+# stage is ~10x the pure-stream time of the same bytes — latency, not
+# bandwidth).  Measured v5e 8×2048² (gps 8/16/32/64): camera 62.9 / 66.6 /
+# 68.2 / 68.4 Gpix/s, random 53.6 at 32 — diminishing past 32, and 64
+# doubles the window VMEM (2 · (16·gps+16) rows · 512 B = 540 KB at 32)
+# and forces the odd-nch traced ping-pong parity.
+
+
+def dec_stage_rows(gps: int) -> int:
+    """Staged-window rows for a gps-group decode window: the full-depth
+    span (16 rows/group) plus the last group's 17-row window overhang,
+    8-aligned (16·8+16 = 144 = the original STAGE_ROWS)."""
+    return 16 * gps + 16
+
+
 DECODE_CHAIN_VARIANTS = (6, 11, 17)  # window-gather chain lengths of the
 # compiled decode variants (rows of staged payload each group's tile window
 # can span), selected per batch by lax.switch.  Measured needs: flat 0,
@@ -608,18 +699,24 @@ def _variant_index(need, bounds):
     return idx
 
 
-def encode_band_kernel(img32: jnp.ndarray, interpret: bool = False):
+def encode_band_kernel(img32: jnp.ndarray, interpret: bool = False,
+                       mplanes: int = 8):
     """img32 (B, Hp, W//4) u32 [Hp % block rows == 0, W % 1024 == 0] →
     (depths (B, Tp//128, 128) u8, mins, payload (B, R, 128) u32).
 
     Two device phases + an XLA scalar pre-pass in between (module
     docstring); the whole pipeline is jittable as one program.
     ``interpret`` runs the kernels in Pallas interpreter mode (CPU) — used
-    by the sharded codec on virtual device meshes."""
+    by the sharded codec on virtual device meshes.
+
+    ``mplanes`` < 8 compiles the reduced-plane payload variant — only
+    correct when every tile depth in the batch is ≤ mplanes (the codec
+    dispatches on the phase-A max, codec.py)."""
     W = img32.shape[2] * 4
     d3, m3 = encode_depths_kernel(img32, interpret=interpret)
     meta = stream_meta(d3, W)
-    payload = encode_payload_kernel(meta, img32, d3, m3, interpret=interpret)
+    payload = encode_payload_kernel(meta, img32, d3, m3, interpret=interpret,
+                                    mplanes=mplanes)
     return d3, m3, payload
 
 
@@ -628,7 +725,8 @@ def encode_band_kernel(img32: jnp.ndarray, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _decode_kernel(groups_row, bands, nent, chain_rows, ablate_stage, meta_ref,
+def _decode_kernel(groups_row, bands, nent, chain_rows, gps, stage_rows,
+                   ablate_stage, meta_ref,
                    depths_ref, mins_ref, payload_ref, img_ref, win_ref,
                    res_ref, rstage_ref, sems):
     """``chain_rows`` (trace-time) is the window-gather select-chain length:
@@ -637,6 +735,12 @@ def _decode_kernel(groups_row, bands, nent, chain_rows, ablate_stage, meta_ref,
     DECODE_CHAIN_VARIANTS entry and lax.switches on the batch's actual
     maximum — rows past a group's real words never hold selected data, so a
     shorter chain is exact whenever every group fits it.
+
+    ``gps``/``stage_rows`` (trace-time) size the window pipeline: each
+    staged window covers ``gps`` lane-groups (``stage_rows = 16·gps + 16``
+    payload rows, the full-depth span plus the last group's 17-row window
+    overhang).  Fewer, larger windows amortize the serial DMA wait points
+    (see DEC_GROUPS_PER_STAGE).
 
     ``ablate_stage`` (trace-time; None in production) truncates the kernel
     after stage N for per-stage cost profiling (tools/ablate_band.py): 0 =
@@ -661,8 +765,8 @@ def _decode_kernel(groups_row, bands, nent, chain_rows, ablate_stage, meta_ref,
 
     def read_into(slot, rbase):
         return pltpu.make_async_copy(
-            payload_ref.at[b, pl.ds(rbase, STAGE_ROWS), :],
-            rstage_ref.at[pl.ds(slot * STAGE_ROWS, STAGE_ROWS), :],
+            payload_ref.at[b, pl.ds(rbase, stage_rows), :],
+            rstage_ref.at[pl.ds(slot * stage_rows, stage_rows), :],
             sems.at[slot],
         )
 
@@ -727,8 +831,8 @@ def _decode_kernel(groups_row, bands, nent, chain_rows, ablate_stage, meta_ref,
     # global chunk index (g·nch + ci) & 1 — static per chunk when nch is
     # even (branch-free), traced when odd (nch == 1 reduces to the original
     # per-block ping-pong, p = g & 1).
-    nch = -(-groups // GROUPS_PER_STAGE)
-    bases = [meta_ref[mbase + 1 + ci * GROUPS_PER_STAGE] >> 7 for ci in range(nch)]
+    nch = -(-groups // gps)
+    bases = [meta_ref[mbase + 1 + ci * gps] >> 7 for ci in range(nch)]
     # next block's first window base, clamped to the last block for
     # g == nb-1 (the prefetch is dropped by pl.when, but the index must be
     # in bounds when traced)
@@ -777,12 +881,11 @@ def _decode_kernel(groups_row, bands, nent, chain_rows, ablate_stage, meta_ref,
 
         if ablate_stage == 0:
             continue  # DMA pipeline only; skip the gathers
-        for s in range(ci * GROUPS_PER_STAGE,
-                       min((ci + 1) * GROUPS_PER_STAGE, groups)):
-            gather_group(s, bases[ci], p * STAGE_ROWS)
+        for s in range(ci * gps, min((ci + 1) * gps, groups)):
+            gather_group(s, bases[ci], p * stage_rows)
 
     if ablate_stage == 0:
-        _keep(rstage_ref[0:1, :] | rstage_ref[STAGE_ROWS : STAGE_ROWS + 1, :])
+        _keep(rstage_ref[0:1, :] | rstage_ref[stage_rows : stage_rows + 1, :])
         return
     if ablate_stage == 1:
         _keep(win_ref[0] | win_ref[15])
@@ -889,8 +992,10 @@ def _decode_call(chain_rows, width, interpret, ablate_stage,
     hp = tp // wp
     nb = hp // bands
     nent = groups + 2
+    gps = min(DEC_GROUPS_PER_STAGE, groups)
+    stage_rows = dec_stage_rows(gps)
     kern = functools.partial(_decode_kernel, groups_row, bands, nent,
-                             chain_rows, ablate_stage)
+                             chain_rows, gps, stage_rows, ablate_stage)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -905,7 +1010,7 @@ def _decode_call(chain_rows, width, interpret, ablate_stage,
             scratch_shapes=[
                 pltpu.VMEM((16, groups, LANES), jnp.uint32),
                 pltpu.VMEM((64, groups, LANES), jnp.uint32),
-                pltpu.VMEM((2 * STAGE_ROWS, LANES), jnp.uint32),
+                pltpu.VMEM((2 * stage_rows, LANES), jnp.uint32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),

@@ -82,8 +82,8 @@ def test_band_codec_arbitrary_width(geom):
 def test_band_codec_odd_width_multiblock():
     """Odd width (W % 4 != 0) through the band materialize path — guards the
     strided-view fix in DbdeCodec.materialize (codec.py ascontiguousarray) —
-    at a multi-block geometry (W=1027 → Wp=2048, adaptive 256-row blocks;
-    H=300 pads to 512 → nb=2)."""
+    at a multi-block geometry (W=1027 → Wp=2048; H=300 → nb=5 at the CI
+    64-row W=2048 blocks, nb=2 at the shipped adaptive 256-row blocks)."""
     from dbde_tpu.codec import DbdeCodec, pack_frames_bytes
 
     H, W = 300, 1027
@@ -121,6 +121,45 @@ def test_band_codec_partial_group_depth8_tail():
                 f"{codec.backend} F={F}")
             out = codec.decode(enc.depths, enc.mins, enc.payload)
             np.testing.assert_array_equal(out, img)
+
+
+def test_band_codec_adaptive_reduced_planes():
+    """Adaptive reduced-plane encode dispatch (codec.py ADAPT_MPLANES).
+
+    Batch 1 (depth <= 5) runs the general kernel and records the max depth;
+    batch 2 switches to the mplanes=5 variant (bytes must stay identical);
+    batch 3 (full-depth content) mispredicts — the verify re-encode must
+    restore the general kernel and still produce correct bytes."""
+    from dbde_tpu.codec import DbdeCodec, pack_frames_bytes
+
+    H, W = 32, 1024
+    rng = np.random.default_rng(21)
+    shallow = (rng.integers(0, 24, (1, H, W)) + 50).astype(np.uint8)  # depth<=5
+    deep = rng.integers(0, 256, (1, H, W)).astype(np.uint8)  # depth 8
+    codec = DbdeCodec(height=H, width=W, backend="band", adaptive=True)
+
+    enc = codec.encode(shallow)
+    assert codec._mplanes == 8  # no prediction before the first batch
+    assert pack_frames_bytes(enc)[0][20:] == ref.pack_image(shallow[0])
+
+    enc = codec.encode(shallow)
+    assert codec._mplanes == 5  # sticky switch to the reduced variant
+    assert pack_frames_bytes(enc)[0][20:] == ref.pack_image(shallow[0])
+
+    enc = codec.encode(deep)  # misprediction: verify must re-encode
+    assert codec._mplanes == 8
+    assert pack_frames_bytes(enc)[0][20:] == ref.pack_image(deep[0])
+
+    # deferred verification (the pipelined-writer contract): a mispredicted
+    # defer_verify batch reports its depth bound instead of re-encoding;
+    # the caller detects the violation from host depths and falls back
+    codec.encode(shallow)  # prediction -> 5 again
+    enc = codec.encode(deep, defer_verify=True)
+    assert enc.depth_bound == 5
+    assert int(np.asarray(enc.depths).max()) > enc.depth_bound
+    enc = codec.encode_general(deep)
+    assert enc.depth_bound is None and codec._mplanes == 8
+    assert pack_frames_bytes(enc)[0][20:] == ref.pack_image(deep[0])
 
 
 @pytest.mark.parametrize("geom", [(520, 128), (40, 53)])

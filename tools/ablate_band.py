@@ -111,11 +111,15 @@ def _decode_inputs(enc, H, W):
     rows = pb.payload_rows(tp)
     d = jnp.zeros((B, hp, wpp), jnp.uint8).at[:, :h, :w].set(enc.depths.reshape(B, h, w))
     m = jnp.zeros((B, hp, wpp), jnp.uint8).at[:, :h, :w].set(enc.mins.reshape(B, h, w))
-    p = jnp.pad(enc.payload, ((0, 0), (0, rows * pb.LANES - enc.payload.shape[1])))
+    if enc.payload.ndim == 3:  # kernel-shaped band payload: already (B,R,128)
+        p3 = enc.payload
+    else:
+        p = jnp.pad(enc.payload, ((0, 0), (0, rows * pb.LANES - enc.payload.shape[1])))
+        p3 = p.reshape(B, rows, pb.LANES)
     return (
         jax.device_put(d.reshape(B, tp // pb.LANES, pb.LANES)),
         jax.device_put(m.reshape(B, tp // pb.LANES, pb.LANES)),
-        jax.device_put(p.reshape(B, rows, pb.LANES)),
+        jax.device_put(p3),
     )
 
 

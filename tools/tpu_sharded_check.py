@@ -42,7 +42,7 @@ def main() -> None:
     enc = codec.encode(imgs)
     n64 = np.asarray(enc.n64)
     for b in range(B):
-        want = np.asarray(enc.payload)[b][: 2 * int(n64[b])]
+        want = enc.payload_host()[b][: 2 * int(n64[b])]
         np.testing.assert_array_equal(flat[b], want)
     blob = ref.pack_image(imgs[0])
     T = codec.tiles
@@ -52,12 +52,12 @@ def main() -> None:
     print("sharded encode/decode byte+pixel parity ok (compiled kernels)")
 
     # (c): fused roundtrip step device time vs single-chip kernels
-    h, w, h_loc, L_real, L, Wp = sh._band_geometry(W, H, 1)
+    h, w, h_loc, L_real, L = sh._band_geometry(W, H, 1)
     img32 = jax.device_put(sh._prep_band_img32(imgs, 1))
 
     def body(x_local):
-        d, m, p, t, _ = sh._encode_block_band(x_local, h_loc, w, Wp, False)
-        o = sh._decode_block_band(d, m, p, h_loc, w, W, Wp, False)
+        d, m, p, t, _ = sh._encode_block_band(x_local, h_loc, W, False)
+        o = sh._decode_block_band(d, m, p, h_loc, W, False)
         return o, jax.lax.psum(jnp.sum(t), ("data", "tiles")) // 2
 
     fn = jax.jit(
