@@ -29,11 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..format import tile_grid
-from ..ops.bitpack import (
-    MAX_WORDS_PER_TILE,
-    pack_tiles_to_words,
-    unpack_words_to_tiles,
-)
+from ..ops.bitpack import pack_tiles_to_words, unpack_words_to_tiles
 from ..ops.payload import compact_payload, gather_windows, word_offsets
 from ..ops.tiling import pad_and_tile, untile
 
@@ -100,9 +96,11 @@ def _mesh_interpret(mesh: Mesh) -> bool:
 
 def _band_geometry(W: int, H: int, n_tiles: int):
     """Per-shard band-kernel geometry for an (H, W) frame split into
-    ``n_tiles`` horizontal tile bands."""
-    from ..codec import band_width
-    from ..ops import pallas_band as pb
+    ``n_tiles`` horizontal tile bands.  Narrow widths fold exactly like the
+    single-chip codec (codec.band_fold) — the fold is per-shard-valid
+    because shards are contiguous tile-row bands, so shard-major row-major
+    tile order == global row-major order and the byte stream is invariant."""
+    from ..codec import to_band_img32
 
     h, w = tile_grid(W, H)
     if h % n_tiles != 0:
@@ -110,82 +108,67 @@ def _band_geometry(W: int, H: int, n_tiles: int):
             f"tile rows ({h}) must divide evenly into {n_tiles} bands for "
             "bit-exact sharded encode; pick n_tiles dividing ceil(H/8)"
         )
-    Wp = band_width(W)
     h_loc = h // n_tiles  # tile rows per shard
     L_real = 8 * h_loc  # pixel rows per shard (format edge-padded)
-    L = pb.pad_rows(L_real, Wp)  # zero-padded to whole kernel grid blocks
-    return h, w, h_loc, L_real, L, Wp
+    # kernel-layout rows per shard (folded + block-padded): probe via the
+    # shared adapter so the shapes always match _prep_band_img32
+    L = to_band_img32(np.zeros((1, L_real, W), np.uint8), L_real, W).shape[1]
+    return h, w, h_loc, L_real, L
 
 
 def _prep_band_img32(images: np.ndarray, n_tiles: int):
-    """(B, H, W) u8 → (B, n_tiles*L, Wp//4) u32: format edge padding to the
-    ragged tile boundary, zero pad columns to the kernel width, and zero pad
-    rows *per shard* so every shard is a whole number of kernel grid blocks
-    (zero tiles have depth 0 and emit no payload words)."""
+    """(B, H, W) u8 → (B, n_tiles*L, Wk//4) u32: the single-chip codec's
+    edge-pad + column-pad + row-fold + block-pad adapter
+    (codec.to_band_img32), applied per shard band after the global edge
+    padding (zero pad tiles have depth 0 and emit no payload words)."""
+    from ..codec import to_band_img32
+
     B, H, W = images.shape
-    h, w, h_loc, L_real, L, Wp = _band_geometry(W, H, n_tiles)
+    h, w, h_loc, L_real, L = _band_geometry(W, H, n_tiles)
     h8, w8 = 8 * h, 8 * w
     img = images
-    if w8 != W:
-        img = np.concatenate([img, np.repeat(img[:, :, -1:], w8 - W, axis=2)], axis=2)
-    if h8 != H:
+    if h8 != H:  # global edge rule first (shards split on tile rows)
         img = np.concatenate([img, np.repeat(img[:, -1:, :], h8 - H, axis=1)], axis=1)
-    if Wp != w8:
-        img = np.concatenate([img, np.zeros((B, h8, Wp - w8), np.uint8)], axis=2)
-    if L != L_real:
-        out = np.zeros((B, n_tiles * L, Wp), np.uint8)
-        for k in range(n_tiles):
-            out[:, k * L : k * L + L_real] = img[:, k * L_real : (k + 1) * L_real]
-        img = out
-    return np.ascontiguousarray(img).view(np.uint32)
+    return np.concatenate(
+        [
+            np.asarray(to_band_img32(img[:, k * L_real : (k + 1) * L_real], L_real, W))
+            for k in range(n_tiles)
+        ],
+        axis=1,
+    )
 
 
-def _encode_block_band(img32_local, h_loc: int, w: int, Wp: int, interpret: bool):
-    """Band-kernel encode of one shard's (B_local, L, Wp//4) u32 block."""
-    from ..ops import pallas_band as pb
+def _encode_block_band(img32_local, h_loc: int, W: int, interpret: bool):
+    """Band-kernel encode of one shard's (B_local, L, Wk//4) u32 block —
+    the single-chip band adapter at H = the shard's rows, plus the
+    cross-shard offset prefix (one scalar all_gather over ICI)."""
+    from ..codec import _encode_fn_band
 
-    B = img32_local.shape[0]
-    wpp = Wp // 8
-    d3, m3, payload = pb.encode_band_kernel(img32_local, interpret=interpret)
-    hp = d3.shape[1] * pb.LANES // wpp
-    depths = d3.reshape(B, hp, wpp)[:, :h_loc, :w].reshape(B, h_loc * w)
-    mins = m3.reshape(B, hp, wpp)[:, :h_loc, :w].reshape(B, h_loc * w)
-    total = 2 * jnp.sum(depths.astype(jnp.int32), axis=-1)  # u32 words
+    depths, mins, p3, n64, _ = _encode_fn_band(
+        img32_local, H=8 * h_loc, W=W, interpret=interpret
+    )
+    # flatten the kernel-shaped payload for the cross-shard segment layout
+    # (a contiguous reshape — XLA bitcast, no copy, unlike the slice the
+    # single-chip path used to pay)
+    flat = p3.reshape(p3.shape[0], -1)
+    total = 2 * n64  # u32 words
     totals = jax.lax.all_gather(total, "tiles")  # (n_tiles, B_local)
     my = jax.lax.axis_index("tiles")
     mask = (jnp.arange(totals.shape[0]) < my)[:, None]
     base = jnp.sum(totals * mask, axis=0)
-    return depths, mins, payload.reshape(B, -1), total[None, :], base[None, :]
+    return depths, mins, flat, total[None, :], base[None, :]
 
 
 def _decode_block_band(depths_local, mins_local, segment_local,
-                       h_loc: int, w: int, W: int, Wp: int, interpret: bool):
-    """Band-kernel decode of one shard's segment → (B, L_real, ceil(W/4)) u32."""
-    from ..ops import pallas_band as pb
+                       h_loc: int, W: int, interpret: bool):
+    """Band-kernel decode of one shard's segment → (B, 8*h_loc, ceil(W/4))
+    u32 (the single-chip band adapter at H = the shard's rows)."""
+    from ..codec import _decode_fn_band
 
-    B = depths_local.shape[0]
-    wpp = Wp // 8
-    hp8 = pb.pad_rows(8 * h_loc, Wp)
-    hp = hp8 // 8
-    tp = hp * wpp
-    rows = pb.payload_rows(tp)
-    d = jnp.zeros((B, hp, wpp), jnp.uint8).at[:, :h_loc, :w].set(
-        depths_local.reshape(B, h_loc, w)
-    )
-    m = jnp.zeros((B, hp, wpp), jnp.uint8).at[:, :h_loc, :w].set(
-        mins_local.reshape(B, h_loc, w)
-    )
-    p = segment_local.reshape(B, -1)
-    if p.shape[1] < rows * pb.LANES:
-        p = jnp.pad(p, ((0, 0), (0, rows * pb.LANES - p.shape[1])))
-    img32 = pb.decode_band_kernel(
-        d.reshape(B, tp // pb.LANES, pb.LANES),
-        m.reshape(B, tp // pb.LANES, pb.LANES),
-        p[:, : rows * pb.LANES].reshape(B, rows, pb.LANES),
-        Wp,
+    return _decode_fn_band(
+        depths_local, mins_local, segment_local, H=8 * h_loc, W=W,
         interpret=interpret,
     )
-    return img32[:, : 8 * h_loc, : -(-W // 4)]
 
 
 # ---------------------------------------------------------------------------
@@ -207,9 +190,13 @@ def _pad_to_bands(images: np.ndarray, n_tiles: int):
 
 def _resolve_backend(backend: str, W: int) -> str:
     """"band" = compiled Pallas band kernels per shard (the fast path on real
-    chips); "xla" = the gather-based blocks (differential baseline; its
-    data-dependent gathers serialize on real TPUs).  "auto" mirrors
-    DbdeCodec's selection rule."""
+    chips — fold-aware, so explicit "band" works at EVERY width); "xla" =
+    the gather-based blocks (differential baseline; its data-dependent
+    gathers serialize on real TPUs).  "auto" picks band at fold-free widths
+    and xla below (the narrow-width fold pays a <2x pad ratio that only
+    makes sense on real chips — sharding narrow frames is not a production
+    configuration, and the virtual-mesh test/driver paths would pay
+    interpreter-mode band compiles for nothing)."""
     if backend == "auto":
         from ..codec import band_width
 
@@ -236,10 +223,10 @@ def encode_sharded(images, mesh: Mesh, backend: str = "auto"):
     n_tiles = mesh.shape["tiles"]
     backend = _resolve_backend(backend, W)
     if backend == "band":
-        h, w, h_loc, L_real, L, Wp = _band_geometry(W, H, n_tiles)
+        h, w, h_loc, L_real, L = _band_geometry(W, H, n_tiles)
         img32 = _prep_band_img32(images, n_tiles)
         fn = jax.shard_map(
-            partial(_encode_block_band, h_loc=h_loc, w=w, Wp=Wp,
+            partial(_encode_block_band, h_loc=h_loc, W=W,
                     interpret=_mesh_interpret(mesh)),
             mesh=mesh,
             in_specs=P("data", "tiles", None),
@@ -279,9 +266,9 @@ def decode_sharded(depths, mins, segments, mesh: Mesh, H: int, W: int, Hp: int,
     n_tiles = mesh.shape["tiles"]
     backend = _resolve_backend(backend, W)
     if backend == "band":
-        h, w, h_loc, L_real, L, Wp = _band_geometry(W, H, n_tiles)
+        h, w, h_loc, L_real, L = _band_geometry(W, H, n_tiles)
         fn = jax.shard_map(
-            partial(_decode_block_band, h_loc=h_loc, w=w, W=W, Wp=Wp,
+            partial(_decode_block_band, h_loc=h_loc, W=W,
                     interpret=_mesh_interpret(mesh)),
             mesh=mesh,
             in_specs=(P("data", "tiles"), P("data", "tiles"), P("data", "tiles")),
@@ -311,15 +298,15 @@ def sharded_roundtrip_step(images, mesh: Mesh, backend: str = "auto"):
     n_tiles = mesh.shape["tiles"]
     backend = _resolve_backend(backend, W)
     if backend == "band":
-        h, w, h_loc, L_real, L, Wp = _band_geometry(W, H, n_tiles)
+        h, w, h_loc, L_real, L = _band_geometry(W, H, n_tiles)
         img32 = _prep_band_img32(images, n_tiles)
         interp = _mesh_interpret(mesh)
 
         def body_band(x_local):
             depth, mn, payload, total, base = _encode_block_band(
-                x_local, h_loc, w, Wp, interp
+                x_local, h_loc, W, interp
             )
-            out32 = _decode_block_band(depth, mn, payload, h_loc, w, W, Wp, interp)
+            out32 = _decode_block_band(depth, mn, payload, h_loc, W, interp)
             n64 = jax.lax.psum(jnp.sum(total), ("data", "tiles")) // 2
             return out32, n64
 

@@ -138,6 +138,26 @@ def test_sharded_band_backend_byte_parity():
     np.testing.assert_array_equal(out, frames)
 
 
+def test_sharded_band_narrow_width_folded():
+    """Explicit backend="band" at a narrow width: the shard bodies reuse the
+    single-chip fold adapters (codec.band_fold — W=64 folds k=16 tile rows
+    per kernel row), so the Pallas band kernels serve sharded narrow frames
+    too.  Byte parity with the oracle pins the fold's stream invariance
+    across the shard split."""
+    mesh = make_mesh(n_data=1, n_tiles=2)
+    rng = np.random.default_rng(23)
+    H, W = 32, 64  # h=4 tile rows -> 2 per shard, each folded into one row
+    frames = (rng.integers(0, 256, (1, H, W)) & rng.integers(0, 256, (1, H, W))).astype(np.uint8)
+    depth, mn, payload, totals, bases, Hp = encode_sharded(frames, mesh, backend="band")
+    payloads = assemble_payload_host(payload, totals)
+    expected = ref.pack_image(frames[0])
+    T = 4 * 8
+    np.testing.assert_array_equal(np.asarray(depth)[0], np.frombuffer(expected, np.uint8, T, 4))
+    np.testing.assert_array_equal(payloads[0], np.frombuffer(expected, np.uint32, offset=12 + 2 * T))
+    out = decode_sharded(depth, mn, payload, mesh, H=H, W=W, Hp=Hp, backend="band")
+    np.testing.assert_array_equal(out, frames)
+
+
 def test_sharded_band_fused_multiblock():
     """The fused band sharded_roundtrip_step on a 2x2 virtual mesh with
     MULTI-BLOCK shards: n_data=2 (one frame per data shard), n_tiles=2 with
