@@ -185,9 +185,10 @@ def run_composed_stream_bench(width: int = 2048, height: int = 2048,
     npix_b = B * height * width
 
     # --- device legs (device-timeline time; wall clock on CPU backends) ---
+    codec.encode(src)  # warm the adaptive encode dispatch (see _run_bench)
+    enc = codec.encode(src)
     enc_input = codec._to_img32(src) if codec.backend == "band" else src
     t_enc_dev = _measure(codec._encode, enc_input, reps=4)
-    enc = codec.encode(src)
     t_dec_dev = _measure(codec._decode, enc.depths, enc.mins, enc.payload, reps=4)
     out = codec.decode(enc.depths, enc.mins, enc.payload)
     np.testing.assert_array_equal(np.asarray(out), src)  # never bench wrong results
@@ -199,7 +200,7 @@ def run_composed_stream_bench(width: int = 2048, height: int = 2048,
     enc_host = EncodedBatch(
         depths=np.asarray(enc.depths),
         mins=np.asarray(enc.mins),
-        payload=np.asarray(enc.payload[:, : 2 * int(n64_np.max())]),
+        payload=enc.payload_host(2 * int(n64_np.max())),
         n64=n64_np,
     )
 
@@ -207,6 +208,10 @@ def run_composed_stream_bench(width: int = 2048, height: int = 2048,
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     fd, path = tempfile.mkstemp(suffix=".dbde", dir=shm)
     os.close(fd)
+    from .native import binding as _nb
+
+    native = _nb if _nb.native_available() else None
+    asm_scratch: list = []
     try:
         nbatches = max(1, frames // B)
         t0 = time.perf_counter()
@@ -214,8 +219,17 @@ def run_composed_stream_bench(width: int = 2048, height: int = 2048,
             f.write(VideoHeader(height=height, width=width, frame_hz=1000.0).pack())
             for i in range(nbatches):
                 # per-batch record assembly from device-shaped arrays + write
-                for rec in pack_frames_bytes(enc_host, indices=range(i * B, i * B + B)):
-                    f.write(rec)
+                # — the same path DbdeWriter._drain_one takes (native batched
+                # C++ memcpy assembly when available, else the Python packer)
+                if native is not None:
+                    f.write(native.assemble_records(
+                        enc_host.depths, enc_host.mins, enc_host.payload,
+                        enc_host.n64, indices=range(i * B, i * B + B),
+                        elapsed_ns=[0] * B, scratch=asm_scratch,
+                    ))
+                else:
+                    for rec in pack_frames_bytes(enc_host, indices=range(i * B, i * B + B)):
+                        f.write(rec)
         t_asm = (time.perf_counter() - t0) / nbatches
         enc_bytes = os.path.getsize(path)
 
@@ -260,6 +274,7 @@ def run_composed_stream_bench(width: int = 2048, height: int = 2048,
         "batch_size": B,
         "content": content,
         "backend": codec.backend,
+        "host_assembler": "native" if native is not None else "python",
         "note": "per-leg measurement composed under the 2-deep pipeline "
                 "overlap; transfer reported as required link bandwidth "
                 "(the dev rig's tunnel is the excluded artifact)",
@@ -277,9 +292,10 @@ def run_latency_bench(width: int = 2048, height: int = 2048,
 
     codec = DbdeCodec(height=height, width=width)
     img = make_content(width, height, 1, content)
+    codec.encode(img)  # warm the adaptive encode dispatch (see _run_bench)
+    enc = codec.encode(img)
     enc_input = codec._to_img32(img) if codec.backend == "band" else img
     t_enc = _measure(codec._encode, enc_input, reps=8)
-    enc = codec.encode(img)
     t_dec = _measure(codec._decode, enc.depths, enc.mins, enc.payload, reps=8)
     out = codec.decode(enc.depths, enc.mins, enc.payload)
     np.testing.assert_array_equal(np.asarray(out), img)
@@ -374,6 +390,11 @@ def _run_bench(width: int, height: int, frames: int, iters: int,
     images = jnp.asarray(images_np)
     npix = frames * height * width
 
+    # two warmup encodes: the first observes the batch max depth, the second
+    # runs the adaptively-picked reduced-plane variant — codec._encode then
+    # points at the variant actually measured, and the integrity check below
+    # covers that variant's output
+    codec.encode(images_np)
     enc = codec.encode(images_np)
     jax.block_until_ready(enc.payload)
     # measure the jitted device program with its actual input layout

@@ -358,6 +358,7 @@ class DbdeWriter:
         self.frames_written = 0
         self.pipeline = max(1, int(pipeline))  # device batches in flight
         self._pending = collections.deque()
+        self._asm_scratch: list = []  # reused assemble_records output buffer
         self._device = device
         self._codec = None
         if device:
@@ -377,8 +378,12 @@ class DbdeWriter:
         ns = [int(x) for x in elapsed_ns] if elapsed_ns is not None else [0] * B
         self.frames_written += B
         if self._device:
-            enc = self._codec.encode(frames)  # async dispatch
-            self._pending.append((enc, indices, ns))
+            # defer_verify keeps the dispatch fully asynchronous when the
+            # codec's adaptive reduced-plane variant is active: the depth
+            # bound is checked in _drain_one (depths land on the host there
+            # anyway) and the retained frames re-encode on a misprediction
+            enc = self._codec.encode(frames, defer_verify=True)
+            self._pending.append((enc, frames, indices, ns))
             while len(self._pending) > self.pipeline:
                 self._drain_one()
         else:
@@ -390,19 +395,23 @@ class DbdeWriter:
     def _drain_one(self) -> None:
         from .codec import pack_frames_bytes
 
-        enc, indices, ns = self._pending.popleft()
+        enc, frames, indices, ns = self._pending.popleft()
+        if enc.depth_bound is not None:
+            # deferred adaptive verification (see write): the depths are
+            # needed on the host below regardless, so the bound check is free
+            if int(np.asarray(enc.depths).max()) > enc.depth_bound:
+                enc = self._codec.encode_general(frames)
         if self._native is not None:
             n64 = np.asarray(enc.n64)
             mx = 2 * int(n64.max()) if len(n64) else 0
-            payload = (
-                np.asarray(enc.payload[:, :mx])
-                if mx < enc.payload.shape[1]
-                else np.asarray(enc.payload)
-            )
+            payload = enc.payload_host(mx)
+            # zero-copy view over the writer's reused scratch buffer —
+            # written out before the next _drain_one touches it
             self._f.write(
                 self._native.assemble_records(
                     np.asarray(enc.depths), np.asarray(enc.mins),
                     payload, n64, indices=indices, elapsed_ns=ns,
+                    scratch=self._asm_scratch,
                 )
             )
         else:
