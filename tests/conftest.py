@@ -23,3 +23,18 @@ jax.config.update("jax_platforms", "cpu")
 # HLO, so any kernel change recompiles.
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_dbde_tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+# Pin the band-kernel grid blocks to the 128-row geometry (BANDS_MULT=2)
+# for the CPU suite.  The production width-adaptive 256-row blocks
+# (pallas_band.BANDS_MULT=None) quadruple the interpreter-mode padding cost
+# of the small CI geometries and produce CPU programs big enough to
+# segfault XLA's CPU backend_compile in long pytest sessions (observed at
+# W=1024, groups=32 decode after ~10 prior kernel compiles).  The seam
+# paths the multi-block tests exist for (cross-block decode window
+# prefetch, encode carry) are identical code at every block height — and
+# 128-row blocks give the same tests MORE seams (H=300 → nb=3 instead of
+# 2).  The shipped 256-row geometry is covered on real TPUs by
+# tools/tpu_quickcheck.py and every bench integrity check.
+from dbde_tpu.ops import pallas_band as _pb  # noqa: E402
+
+_pb.BANDS_MULT = 2

@@ -71,36 +71,38 @@ def test_band_kernel_parity_ragged_rows():
 
 
 def test_band_kernel_parity_single_block_padded():
-    """H=96 pads into ONE 256-row grid block at the adaptive W=1024
-    geometry — covers the in-block row-pad path only; the cross-block seams
-    are covered by the nb >= 2 tests below."""
+    """H=96 pads into ONE grid block at the CI geometry (conftest pins
+    BANDS_MULT=2 → 128-row W=1024 blocks) — covers the in-block row-pad
+    path only; the cross-block seams are covered by the nb >= 2 tests
+    below."""
     rng = np.random.default_rng(5)
     frames = (rng.integers(0, 32, (1, 96, 1024)) + 40).astype(np.uint8)
     band_roundtrip_check(frames)
 
 
 def test_band_kernel_parity_two_blocks_mixed():
-    """nb=2 at the shipped adaptive W=1024 geometry (H=300 → 512 rows,
-    256-row blocks): exercises the cross-block encode carry and the decode
-    seam-crossing window prefetch (pallas_band.py nxt0 / g+1 < nb) — the
-    code paths where the round-2 WAR race lived.  The serial cross-tile
-    coupling these seams reimplement: dbde_util.cpp:150-158."""
+    """nb=3 at the CI W=1024 geometry (H=300 → 384 rows, 128-row blocks;
+    nb=2 at the shipped adaptive 256-row blocks): exercises the cross-block
+    encode carry and the decode seam-crossing window prefetch
+    (pallas_band.py nxt0 / g+1 < nb) — the code paths where the round-2 WAR
+    race lived.  The serial cross-tile coupling these seams reimplement:
+    dbde_util.cpp:150-158."""
     rng = np.random.default_rng(15)
     frames = (rng.integers(0, 256, (1, 300, 1024)) & rng.integers(0, 256, (1, 300, 1024))).astype(np.uint8)
     band_roundtrip_check(frames)
 
 
 def test_band_kernel_parity_three_blocks_ragged():
-    """nb=3 with a ragged last tile row (H=530 → 768 padded rows at 256-row
-    blocks): the seam prefetch fires twice and the final block carries pad
-    tiles."""
+    """Multi-block with a ragged last tile row (H=530 → nb=5 at the CI
+    128-row blocks, nb=3 at the shipped 256-row blocks): the seam prefetch
+    fires repeatedly and the final block carries pad tiles."""
     rng = np.random.default_rng(16)
     frames = (rng.integers(0, 64, (1, 530, 1024)) + 30).astype(np.uint8)
     band_roundtrip_check(frames)
 
 
 def test_band_kernel_parity_wide_grid_full_depth():
-    """Width 3072 → 24 lane-groups per block (> GROUPS_PER_STAGE): the
+    """Width 3072 → 48 lane-groups per block (> GROUPS_PER_STAGE): the
     stage must flush in chunks or later groups wrap modulo STAGE_ROWS and
     corrupt earlier payload rows (round-1 advisor finding, high severity)."""
     rng = np.random.default_rng(6)
