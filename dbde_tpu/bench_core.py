@@ -175,7 +175,7 @@ def run_composed_stream_bench(width: int = 2048, height: int = 2048,
     import os
     import tempfile
 
-    from .codec import DbdeCodec, EncodedBatch, pack_frames_bytes
+    from .codec import DbdeCodec, EncodedBatch
     from .format import VideoHeader
     from .stream import DbdeReader
 
@@ -208,41 +208,50 @@ def run_composed_stream_bench(width: int = 2048, height: int = 2048,
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     fd, path = tempfile.mkstemp(suffix=".dbde", dir=shm)
     os.close(fd)
-    from .native import binding as _nb
+    from .codec import record_iovecs
+    from .stream import _writev_all
 
-    native = _nb if _nb.native_available() else None
-    asm_scratch: list = []
     try:
         nbatches = max(1, frames // B)
-        t0 = time.perf_counter()
-        with open(path, "wb") as f:
-            f.write(VideoHeader(height=height, width=width, frame_hz=1000.0).pack())
-            for i in range(nbatches):
-                # per-batch record assembly from device-shaped arrays + write
-                # — the same path DbdeWriter._drain_one takes (native batched
-                # C++ memcpy assembly when available, else the Python packer)
-                if native is not None:
-                    f.write(native.assemble_records(
+        # per-batch vectored record write from device-shaped arrays — the
+        # same path DbdeWriter._drain_one takes: the kernel's gather copy
+        # into the page cache is the only host pass.  Each pass writes a
+        # fresh file (sustained writes always hit fresh pages); the median
+        # rides out this 1-core VM's occasional reclaim hiccups.
+        t_write = []
+        for _ in range(3):
+            with open(path, "wb") as f:
+                f.write(VideoHeader(height=height, width=width, frame_hz=1000.0).pack())
+                f.flush()
+                for i in range(nbatches):
+                    t0 = time.perf_counter()
+                    _writev_all(f.fileno(), record_iovecs(
                         enc_host.depths, enc_host.mins, enc_host.payload,
                         enc_host.n64, indices=range(i * B, i * B + B),
-                        elapsed_ns=[0] * B, scratch=asm_scratch,
                     ))
-                else:
-                    for rec in pack_frames_bytes(enc_host, indices=range(i * B, i * B + B)):
-                        f.write(rec)
-        t_asm = (time.perf_counter() - t0) / nbatches
-        enc_bytes = os.path.getsize(path)
+                    t_write.append(time.perf_counter() - t0)
+            enc_bytes = os.path.getsize(path)
+        t_asm = float(np.median(t_write))
 
+        # per-batch parse timing, median over passes: the reader's pooled
+        # buffers (reuse_buffers) warm up over its first two batches, and
+        # this 1-core VM throws occasional ~200 ms reclaim hiccups — the
+        # median is the sustained rate, which is what the composition models
         t_parse = []
-        for _ in range(2):
-            t0 = time.perf_counter()
+        for _ in range(3):
             got = 0
-            with DbdeReader(path, batch_size=B, device=False) as rd:
-                for headers, arrays in rd.iter_raw():
-                    got += len(headers)
-            t_parse.append((time.perf_counter() - t0) / nbatches)
+            with DbdeReader(path, batch_size=B, device=False,
+                            reuse_buffers=2) as rd:
+                it = rd.iter_raw()
+                while True:
+                    t0 = time.perf_counter()
+                    batch = next(it, None)
+                    if batch is None:
+                        break
+                    t_parse.append(time.perf_counter() - t0)
+                    got += len(batch[0])
             assert got == nbatches * B
-        t_par = min(t_parse)
+        t_par = float(np.median(t_parse))
     finally:
         os.unlink(path)
 
@@ -274,7 +283,7 @@ def run_composed_stream_bench(width: int = 2048, height: int = 2048,
         "batch_size": B,
         "content": content,
         "backend": codec.backend,
-        "host_assembler": "native" if native is not None else "python",
+        "host_assembler": "writev",
         "note": "per-leg measurement composed under the 2-deep pipeline "
                 "overlap; transfer reported as required link bandwidth "
                 "(the dev rig's tunnel is the excluded artifact)",

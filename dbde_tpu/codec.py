@@ -542,40 +542,56 @@ class DbdeCodec:
 # ---------------------------------------------------------------------------
 
 
+RECORD_IOVECS_PER_FRAME = 7
+
+
+def record_iovecs(depths, mins, payload, n64, indices=None, elapsed_ns=None) -> list:
+    """Per-frame record buffers for vectored IO — 7 per frame: 20 B header,
+    ``i32 h·w``, depths row, ``i32 h·w``, minima row, ``i32 n64``, payload
+    prefix (layout parity with dbde_util.cpp:137-196, little-endian).
+
+    The array rows are zero-copy views into the caller's host arrays; they
+    must stay unmodified until the write consumes them.  Feeding these to
+    ``os.writev`` makes the kernel's copy-to-page-cache the *only* pass over
+    the record bytes — measured 22 → 14 ms per 16-frame 2048² batch vs
+    assembling a contiguous buffer first (ROUND3_NOTES).
+    """
+    depths = np.ascontiguousarray(depths, np.uint8)
+    mins = np.ascontiguousarray(mins, np.uint8)
+    payload = np.ascontiguousarray(payload, np.uint32)
+    n64 = np.asarray(n64)
+    B, T = depths.shape
+    count = struct.pack("<i", T)
+    iov = []
+    for b in range(B):
+        idx = int(indices[b]) if indices is not None else b
+        ns = int(elapsed_ns[b]) if elapsed_ns is not None else 0
+        n = int(n64[b])
+        iov += [
+            FrameHeader(index=idx, elapsed_ns=ns).pack(),
+            count,
+            depths[b].data,
+            count,
+            mins[b].data,
+            struct.pack("<i", n),
+            payload[b, : 2 * n].data,
+        ]
+    return iov
+
+
 def pack_frames_bytes(enc: EncodedBatch, indices=None, elapsed_ns=None) -> list[bytes]:
     """EncodedBatch → list of per-frame bytes (20 B header + frame data).
 
     Layout parity with dbde_util.cpp:137-196: ``i32 h·w``, depths, ``i32
     h·w``, minima, ``i32 n64``, payload u64s (little-endian).
     """
-    depths = np.asarray(enc.depths)
-    mins = np.asarray(enc.mins)
     n64 = np.asarray(enc.n64)
     # transfer only the live payload prefix (the buffer is worst-case sized)
     mx = 2 * int(n64.max()) if len(n64) else 0
-    payload = enc.payload_host(mx)
-    B, T = depths.shape
-    out = []
-    count = struct.pack("<i", T)
-    for b in range(B):
-        idx = int(indices[b]) if indices is not None else b
-        ns = int(elapsed_ns[b]) if elapsed_ns is not None else 0
-        header = FrameHeader(index=idx, elapsed_ns=ns).pack()
-        n = int(n64[b])
-        out.append(
-            b"".join(
-                (
-                    header,
-                    count,
-                    depths[b].tobytes(),
-                    count,
-                    mins[b].tobytes(),
-                    struct.pack("<i", n),
-                    np.ascontiguousarray(payload[b, : 2 * n]).tobytes(),
-                )
-            )
-        )
-    return out
+    iov = record_iovecs(np.asarray(enc.depths), np.asarray(enc.mins),
+                        enc.payload_host(mx), n64, indices, elapsed_ns)
+    k = RECORD_IOVECS_PER_FRAME
+    return [b"".join(iov[k * b : k * (b + 1)]) for b in range(len(n64))]
 
 
 def unpack_frames_bytes(buf: bytes, W: int, H: int, offsets: list[int],

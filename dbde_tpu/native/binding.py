@@ -126,21 +126,41 @@ def scan_records(buf: bytes, start: int, tiles: int, max_records: int):
     return offs[:n].tolist(), sizes[:n].tolist()
 
 
-def gather_fields(buf: bytes, data_offsets, tiles: int, payload_stride_words: int, threads: int = 4):
+def gather_fields(buf: bytes, data_offsets, tiles: int, payload_stride_words: int,
+                  threads: int = 4, scratch: dict | None = None):
     """Batched parse of frame-data records → fixed-stride arrays.
 
     Returns (depths (B,T) u8, mins (B,T) u8, payload (B,S) u32, n64 (B,) i32).
     Raises ValueError on the first corrupt record (error parity with
     dbde_util.cpp:295-303).
+
+    Pass a ``scratch`` dict (optionally with ``nslots``, default 2) to
+    rotate the output arrays through a reused pool: skips the fresh-page
+    fault cost of per-batch ``np.empty`` (~60% of parse time at 16×2048² —
+    ROUND3_NOTES).  Arrays from a pooled call are overwritten again after
+    ``nslots`` further calls; consumers must finish with them by then.
     """
     lib = get_lib()
     B = len(data_offsets)
     ptr, n_buf, _keep = _buf_ptr(buf)
     offs = np.asarray(data_offsets, np.int64)
-    depths = np.empty((B, tiles), np.uint8)
-    mins = np.empty((B, tiles), np.uint8)
-    payload = np.empty((B, payload_stride_words), np.uint32)
-    n64s = np.empty((B,), np.int32)
+    if scratch is not None:
+        key = (B, tiles, payload_stride_words)
+        if scratch.get("key") != key:
+            scratch["key"], scratch["slots"], scratch["i"] = key, [], 0
+        slots, i = scratch["slots"], scratch["i"]
+        if len(slots) <= i:
+            slots.append((np.empty((B, tiles), np.uint8),
+                          np.empty((B, tiles), np.uint8),
+                          np.empty((B, payload_stride_words), np.uint32),
+                          np.empty((B,), np.int32)))
+        depths, mins, payload, n64s = slots[i]
+        scratch["i"] = (i + 1) % max(1, int(scratch.get("nslots", 2)))
+    else:
+        depths = np.empty((B, tiles), np.uint8)
+        mins = np.empty((B, tiles), np.uint8)
+        payload = np.empty((B, payload_stride_words), np.uint32)
+        n64s = np.empty((B,), np.int32)
     bad = lib.dbde_gather_fields(
         ptr, n_buf, _p(offs, ctypes.c_long), B, tiles,
         _p(depths, ctypes.c_uint8), _p(mins, ctypes.c_uint8),

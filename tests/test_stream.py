@@ -93,6 +93,31 @@ def test_write_to_filelike(frames):
     assert data == ref.encode_video(list(frames[:3]), frame_hz=10.0)
 
 
+def test_write_device_to_filelike_matches(frames):
+    """device=True with a BytesIO sink: no fd for the vectored-write fast
+    path, so the assembled-records branch must produce identical bytes."""
+    buf = io.BytesIO()
+    with DbdeWriter(buf, height=21, width=34, frame_hz=10.0, device=True) as w:
+        w.write(frames[:5])
+    assert buf.getvalue() == ref.encode_video(list(frames[:5]), frame_hz=10.0)
+
+
+def test_reader_reuse_buffers_parity(tmp_path, frames):
+    """Pooled parse buffers (reuse_buffers=N) yield the same fields batch by
+    batch; a batch's arrays are valid until N more batches are read."""
+    p = tmp_path / "h.dbde"
+    write_video(p, frames, device=False)
+    with DbdeReader(p, batch_size=4, device=False) as r:
+        want = [(hs, [np.array(a) for a in arrs]) for hs, arrs in r.iter_raw()]
+    with DbdeReader(p, batch_size=4, device=False, reuse_buffers=2) as r:
+        got = [(hs, [np.array(a) for a in arrs]) for hs, arrs in r.iter_raw()]
+    assert len(got) == len(want) > 1
+    for (h1, a1), (h2, a2) in zip(want, got):
+        assert [x.index for x in h1] == [x.index for x in h2]
+        for x, y in zip(a1, a2):
+            np.testing.assert_array_equal(x, y)
+
+
 def test_elapsed_ns_and_indices_roundtrip(tmp_path, frames):
     p = tmp_path / "g.dbde"
     with DbdeWriter(p, height=21, width=34, device=True) as w:
