@@ -21,6 +21,17 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
+
+def _clamp_threads(threads: int) -> int:
+    """Cap the native helpers' thread fan-out at the cores actually
+    available — oversubscribed std::threads on a 1-core host are pure
+    scheduling overhead on the memcpy loops."""
+    try:
+        avail = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        avail = os.cpu_count() or 1
+    return max(1, min(int(threads), avail))
+
 _SRC = os.path.join(os.path.dirname(__file__), "dbde_io.cpp")
 
 
@@ -165,7 +176,7 @@ def gather_fields(buf: bytes, data_offsets, tiles: int, payload_stride_words: in
         ptr, n_buf, _p(offs, ctypes.c_long), B, tiles,
         _p(depths, ctypes.c_uint8), _p(mins, ctypes.c_uint8),
         _p(payload, ctypes.c_uint32), payload_stride_words,
-        _p(n64s, ctypes.c_int32), threads,
+        _p(n64s, ctypes.c_int32), _clamp_threads(threads),
     )
     if bad:
         raise ValueError(f"frame {bad - 1}: corrupt record")
@@ -202,7 +213,7 @@ def assemble_records(depths, mins, payload, n64s, indices, elapsed_ns,
         _p(payload, ctypes.c_uint32), payload.shape[1],
         _p(n64s, ctypes.c_int32), _p(idx, ctypes.c_uint64),
         _p(ela, ctypes.c_double), B, T,
-        _p(out, ctypes.c_uint8), out.size, threads,
+        _p(out, ctypes.c_uint8), out.size, _clamp_threads(threads),
     )
     if n < 0:
         raise ValueError("output capacity miscalculated")

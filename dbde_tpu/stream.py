@@ -256,14 +256,27 @@ class DbdeReader:
             del self._buf[: self._pos]
             self._pos = 0
         headers, offsets, max_n64 = [], [], 0
-        while len(headers) < self.batch_size:
-            rec = self._next_record()
-            if rec is None:
-                break
-            fh, off, size = rec
-            headers.append(fh)
-            offsets.append(off + FRAME_HEADER_BYTES)
-            max_n64 = max(max_n64, (size - FRAME_HEADER_BYTES - 12 - 2 * self.tiles) // 8)
+        if self._native is not None and self._mm is not None:
+            # mmap'd regular file: one native scan call per batch (the map
+            # is the whole file, so a short scan IS EOF/corruption — no
+            # refill to try)
+            offs, sizes = self._native.scan_records(
+                self._buf, self._pos, self.tiles, self.batch_size)
+            for off, size in zip(offs, sizes):
+                fh, _ = unpack_frame_header(self._buf, off)
+                headers.append(fh)
+                offsets.append(off + FRAME_HEADER_BYTES)
+                max_n64 = max(max_n64, (size - FRAME_HEADER_BYTES - 12 - 2 * self.tiles) // 8)
+                self._pos = off + size
+        else:
+            while len(headers) < self.batch_size:
+                rec = self._next_record()
+                if rec is None:
+                    break
+                fh, off, size = rec
+                headers.append(fh)
+                offsets.append(off + FRAME_HEADER_BYTES)
+                max_n64 = max(max_n64, (size - FRAME_HEADER_BYTES - 12 - 2 * self.tiles) // 8)
         if not headers:
             return None
         # round the payload stride up to bound device-program recompiles while
