@@ -38,3 +38,61 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 from dbde_tpu.ops import pallas_band as _pb  # noqa: E402
 
 _pb.BANDS_MULT = 2
+
+# Bound the process's live memory-map count.  Root cause (diagnosed on the
+# round-3 rig, /proc/self/maps sampled across a cold run): every live
+# compiled CPU executable + its device buffers holds thousands of anonymous
+# mappings, tests keep codecs/jits referenced for the whole session, and at
+# vm.max_map_count (default 65530) a failed mmap inside XLA:CPU is
+# unchecked — the suite dies with SIGSEGV in backend_compile or
+# executable.serialize() (observed deterministically at ~62k maps, test 51
+# of a cold run).  Two independent layers:
+#   1. raise the kernel limit when permitted (CI images run as root);
+#   2. an autouse fixture that clears jax's executable caches when the map
+#      count nears the effective limit.  jax.clear_caches() releases the
+#      mappings even while DbdeCodec/jit wrapper objects stay alive
+#      (measured 7801 -> 526 maps), and re-runs reload big kernels from the
+#      persistent disk cache above (~3x faster than a cold compile), so a
+#      trip costs minutes, not a crash.
+# DBDE_TEST_MAPS_LIMIT overrides the trip threshold (and skips the kernel
+# bump) so the fixture path itself stays testable.
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+_MAPS_LIMIT_ENV = os.environ.get("DBDE_TEST_MAPS_LIMIT")
+if _MAPS_LIMIT_ENV is None:
+    try:
+        with open("/proc/sys/vm/max_map_count", "w") as _f:
+            _f.write("1048576")
+    except OSError:
+        pass
+
+
+def _max_map_count() -> int:
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            return int(f.read())
+    except (OSError, ValueError):
+        return 65530
+
+
+_MAPS_LIMIT = (
+    int(_MAPS_LIMIT_ENV) if _MAPS_LIMIT_ENV else int(_max_map_count() * 0.7)
+)
+
+
+def _nmaps() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _bound_jit_code_maps():
+    yield
+    if _nmaps() > _MAPS_LIMIT:
+        jax.clear_caches()
+        gc.collect()
