@@ -47,6 +47,35 @@ def make_content(width: int, height: int, frames: int, kind: str = "camera") -> 
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
+def make_adversarial(width: int, height: int, frames: int, maxd: int = 8,
+                     seed: int = 0) -> np.ndarray:
+    """Frames whose 8x8 tiles each realize an exact target depth <= maxd.
+
+    Depth weights favor the corner cases that have bitten the kernels:
+    depth 0 (flat broadcast path) and maxd (depth-8 planes 14/15 ending
+    non-full groups — the round-3 past-total compaction bug, see
+    kernel_common._mask_past_total), with minima drawn over the full legal
+    range per depth so add-min and the (depth<<8)|min packing
+    (dbde_util.cpp:63,101) see extreme values.  Used by the committed CI
+    fuzz tests and tools/tpu_soak.py (the on-device randomized soak)."""
+    rng = np.random.default_rng(seed)
+    th, tw = -(-height // 8), -(-width // 8)
+    weights = np.ones(maxd + 1)
+    weights[0] = 3.0
+    weights[maxd] = 3.0
+    d = rng.choice(np.arange(maxd + 1), size=(frames, th, tw),
+                   p=weights / weights.sum()).astype(np.int64)
+    span = np.where(d == 0, 0, (1 << d) - 1)  # realized tile range
+    lo = rng.integers(0, 256 - span)  # tile min, legal for the range
+    res = rng.integers(0, span[..., None, None] + 1,
+                       size=(frames, th, tw, 8, 8))
+    res[..., 0, 0] = 0          # pin the range exactly: one pixel at min,
+    res[..., 7, 7] = span       # one at min+range (edge tiles may crop these)
+    tiles = (lo[..., None, None] + res).astype(np.uint8)
+    img = tiles.transpose(0, 1, 3, 2, 4).reshape(frames, th * 8, tw * 8)
+    return np.ascontiguousarray(img[:, :height, :width])
+
+
 def _measure(fn, *args, reps: int = 4) -> float:
     """Seconds per execution: device-trace time on TPU, wall clock fallback."""
     import jax

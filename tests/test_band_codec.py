@@ -206,3 +206,23 @@ def test_band_codec_device_array_input(codec):
     enc = codec.encode(jnp.asarray(frames))  # device path: XLA pad + bitcast
     out = codec.decode(enc.depths, enc.mins, enc.payload)
     np.testing.assert_array_equal(out, frames)
+
+
+@pytest.mark.parametrize("seed,maxd", [(0, 8), (1, 5), (2, 1)])
+def test_band_codec_adversarial_depths(codec, seed, maxd):
+    """Seeded adversarial-content fuzz through the band kernels: every tile
+    realizes an exact target depth, weighted toward the corner cases that
+    have bitten (depth-0 runs, depth-8 tiles ending non-full groups, full-
+    range minima) — the CI companion of tools/tpu_soak.py's on-device
+    randomized sweep.  Reuses the (40, 1024) codec so the interpreter-mode
+    kernels compile once for the module."""
+    from dbde_tpu.bench_core import make_adversarial
+    from dbde_tpu.codec import pack_frames_bytes
+
+    frames = make_adversarial(1024, 40, 2, maxd=maxd, seed=seed)
+    enc = codec.encode(frames)
+    recs = pack_frames_bytes(enc)
+    for b in range(2):
+        assert recs[b][20:] == ref.pack_image(frames[b]), (seed, maxd, b)
+    out = codec.decode(enc.depths, enc.mins, enc.payload)
+    np.testing.assert_array_equal(out, frames)

@@ -23,35 +23,14 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from dbde_tpu.bench_core import make_adversarial
 from dbde_tpu.codec import DbdeCodec
 from dbde_tpu import ref_numpy as ref
 
 
 def adversarial_frames(rng: np.random.Generator, B: int, H: int, W: int,
                        maxd: int) -> np.ndarray:
-    """B frames whose 8x8 tiles each realize an exact target depth <= maxd.
-
-    Depth weights favor the edge cases: 0 (flat broadcast path), maxd
-    (reduced-plane bound tightness / depth-8 planes 14-15), and a mix in
-    between.  Tile minima are drawn over the full legal range for the
-    depth, so add-min and the (depth<<8)|min packing see extreme values."""
-    th, tw = -(-H // 8), -(-W // 8)
-    depth_pool = np.arange(maxd + 1)
-    weights = np.ones(maxd + 1)
-    weights[0] = 3.0
-    weights[maxd] = 3.0
-    weights = weights / weights.sum()
-    d = rng.choice(depth_pool, size=(B, th, tw), p=weights).astype(np.int64)
-    rng_per_tile = np.where(d == 0, 0, (1 << d) - 1)  # realized range
-    lo = rng.integers(0, 256 - rng_per_tile)  # tile min, legal for the range
-    res = rng.integers(0, rng_per_tile[..., None, None] + 1,
-                       size=(B, th, tw, 8, 8))
-    # Pin the range exactly: one pixel at min, one at min+range.
-    res[..., 0, 0] = 0
-    res[..., 7, 7] = rng_per_tile
-    tiles = (lo[..., None, None] + res).astype(np.uint8)
-    img = tiles.transpose(0, 1, 3, 2, 4).reshape(B, th * 8, tw * 8)
-    return np.ascontiguousarray(img[:, :H, :W])
+    return make_adversarial(W, H, B, maxd=maxd, seed=int(rng.integers(1 << 31)))
 
 
 def check_case(codec: DbdeCodec, img: np.ndarray, tag: str) -> None:
