@@ -108,31 +108,57 @@ def band_width(width: int) -> int:
     return -(-width // 1024) * 1024 if width > 1024 else 1024
 
 
-def band_fold(width: int) -> tuple[int, int]:
-    """(column-padded width Wp, fold count k), with k*Wp = band kernel width.
+def band_fold(width: int, h_tiles: int | None = None) -> tuple[int, int]:
+    """(column-padded width Wp, fold count k), with k*Wp = the band kernel
+    width (a multiple of 1024).
 
-    Narrow frames pad their columns to the smallest divisor of 1024 that
-    holds the tile grid, then lay k = 1024/Wp *consecutive tile rows* side
-    by side per kernel row ("row folding") so the kernels always run at
-    width 1024.  Row-major tile order — and therefore the format's byte
+    Frames whose tile grid does not fill 128-lane groups pad their columns,
+    then lay k *consecutive tile rows* side by side per kernel row ("row
+    folding").  Row-major tile order — and therefore the format's byte
     stream (dbde_util.cpp:150-158 ordering) — is invariant under the fold:
     kernel-row r' holds original tile rows [k*r', k*r'+k) left to right,
     which is exactly the row-major tile sequence.  Column-pad tiles are
     constant zeros (depth 0, no payload) and are sliced out of the
     depth/min grids by the adapters.
 
-    Measured v5e (camera, H=2048, B=8): folded band vs the tile-layout
-    kernels at W=320: 20.0/33.5 vs 4.5/5.5 Gpix/s (enc/dec); at W=128:
-    25.9/44.0 vs 4.6/5.6.  Worst-case pad ratio is <2 (between successive
-    divisors), so every width beats the tile path's flat ~5 Gpix/s.
+    Narrow frames (≤1024 px) fold onto exactly-1024-wide kernels (smallest
+    power-of-two Wp holding the grid, k = 1024/Wp).  Measured v5e (camera,
+    H=2048, B=8): folded band vs the tile-layout kernels at W=320:
+    20.0/33.5 vs 4.5/5.5 Gpix/s (enc/dec); at W=128: 25.9/44.0 vs 4.6/5.6.
+
+    Wide frames fold k padded tile rows per kernel row when that cuts the
+    column pad: a k-row fold only needs the padded row to be a multiple of
+    128/k tiles, so e.g. W=2536 (317 tiles) runs k=2 at Wp=2560 (0.9% pad)
+    instead of k=1 at Wp=3072 (21%).  Selection minimizes the padded-area
+    ratio (column pad × fold-row pad when ``h_tiles`` is given; ties go to
+    the smaller k), skipping candidates whose kernel grid would exceed
+    BLOCK_GROUPS_CAP lane-groups per block (the unroll/VMEM bound — checked
+    against the *effective* block geometry, so a pinned BANDS_MULT shifts
+    the choice toward smaller k).  k=1 is always valid as the fallback.
     """
+    import math
+
     w8 = 8 * (-(-width // 8))
-    if w8 >= 1024:
-        return band_width(width), 1
-    Wp = 8
-    while Wp < w8:
-        Wp *= 2
-    return Wp, 1024 // Wp
+    wp = w8 // 8
+    if w8 <= 1024:
+        Wp = 8
+        while Wp < w8:
+            Wp *= 2
+        return Wp, 1024 // Wp
+    from .ops import pallas_band as pb
+
+    best = None
+    for k in (1, 2, 4, 8):
+        m = 128 // math.gcd(k, 128)
+        p = -(-wp // m) * m
+        if k > 1 and pb.n_bands(8 * k * p) * (k * p // 128) > pb.BLOCK_GROUPS_CAP:
+            continue
+        ratio = p / wp
+        if h_tiles:
+            ratio *= (-(-h_tiles // k) * k) / h_tiles
+        if best is None or ratio < best[0] - 1e-9:
+            best = (ratio, 8 * p, k)
+    return best[1], best[2]
 
 
 def _fold_rows(h_tiles: int, k: int) -> int:
@@ -156,7 +182,7 @@ def to_band_img32(images, H: int, W: int):
     from .ops import pallas_band as pb
 
     h8, w8 = (8 * d for d in tile_grid(W, H))  # format edge-pad boundary
-    Wp, k = band_fold(W)
+    Wp, k = band_fold(W, h8 // 8)
     Wk = k * Wp
     hf8 = 8 * (_fold_rows(h8 // 8, k) // k)  # folded rows before blocks
     hpf8 = pb.pad_rows(hf8, Wk)  # folded rows padded to grid blocks
@@ -228,7 +254,7 @@ def _encode_fn_band(img32: jnp.ndarray, H: int, W: int, mplanes: int = 8,
 
     B = img32.shape[0]
     h, w = tile_grid(W, H)
-    Wp, k = band_fold(W)
+    Wp, k = band_fold(W, h)
     wpp = Wp // 8
     d3, m3, payload = pb.encode_band_kernel(img32, mplanes=mplanes,
                                             interpret=interpret)
@@ -257,7 +283,7 @@ def _decode_fn_band(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray
 
     B, T = depths.shape
     h, w = tile_grid(W, H)
-    Wp, k = band_fold(W)
+    Wp, k = band_fold(W, h)
     Wk = k * Wp
     wpp = Wp // 8
     hpf = pb.pad_rows(8 * (_fold_rows(h, k) // k), Wk) // 8  # folded tile rows

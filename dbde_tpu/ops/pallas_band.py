@@ -122,9 +122,14 @@ def band_supported(width: int) -> bool:
 
 
 BANDS_MULT: int | None = None  # grid-block height multiplier over the
-# minimal band count.  None (production) = width-adaptive: double the block
-# until it would exceed BLOCK_ROWS_CAP image rows or BLOCK_GROUPS_CAP
-# lane-groups.  An int forces that multiplier (tools/ablate_band.py --mult).
+# minimal band count.  None (production) = geometry-adaptive: the ladder of
+# valid block heights doubles until BLOCK_ROWS_CAP image rows or
+# BLOCK_GROUPS_CAP lane-groups, and pad_rows picks the ladder entry
+# minimizing padded rows x measured per-row block cost (1080 rows pick
+# 128-row blocks: 6.7% pad at +6.4%/row beats 18.5% pad at the 256-row
+# optimum; exact multiples keep the tallest block).  Kernels infer the
+# choice from the padded shape (n_bands(width, hp8)).  An int forces that
+# multiplier everywhere (tools/ablate_band.py --mult, the CI suite pin).
 #
 # Fewer, taller grid steps amortize per-step overhead (probe_stream_bw:
 # 0.23 µs/step at 32-row blocks; pure streaming 283 → 453 → 745 GB/s at
@@ -135,42 +140,110 @@ BANDS_MULT: int | None = None  # grid-block height multiplier over the
 # (the payload/window loops are fully unrolled over the block's groups).
 
 BLOCK_ROWS_CAP = 256
-BLOCK_GROUPS_CAP = 64
+BLOCK_GROUPS_CAP = 64   # encode: the compaction unroll loses past this
+# (Wk=5120, camera 8×2048×2536: 80-group blocks measured 35.0 vs 37.1
+# Gpix/s at 40 groups — same vreg-pressure cliff as the width-8 interleave)
+BLOCK_GROUPS_CAP_DEC = 80  # decode: taller blocks keep paying (48.4 → 50.9
+# at the same geometry).  The two kernels may run DIFFERENT block heights
+# over the same arrays: stream offsets are absolute, so block partitioning
+# never affects the payload bytes — pad_rows pads to the decode (taller)
+# block and each kernel infers its own bands from the padded shape.
 
 
-def n_bands(width: int) -> int:
-    """Tile rows per grid step: smallest count making the group total a
-    multiple of 8 (the depths-output block sublane constraint), doubled
-    while the block stays within BLOCK_ROWS_CAP/BLOCK_GROUPS_CAP (or times
-    BANDS_MULT when forced)."""
+def _bands_ladder(width: int, groups_cap: int = BLOCK_GROUPS_CAP) -> list[int]:
+    """Valid tile-rows-per-grid-step values: the smallest count making the
+    group total a multiple of 8 (the depths-output block sublane
+    constraint), doubled while the block stays within BLOCK_ROWS_CAP /
+    groups_cap."""
     import math
 
     wp = width // 8
     base = 1024 // math.gcd(wp, 1024)
-    if BANDS_MULT is not None:
-        return BANDS_MULT * base
     groups_row = wp // LANES
-    bands = base
-    while (16 * bands <= BLOCK_ROWS_CAP
-           and 2 * bands * groups_row <= BLOCK_GROUPS_CAP):
-        bands *= 2
-    return bands
+    ladder = [base]
+    while (16 * ladder[-1] <= BLOCK_ROWS_CAP
+           and 2 * ladder[-1] * groups_row <= groups_cap):
+        ladder.append(2 * ladder[-1])
+    return ladder
+
+
+# Marginal per-row cost of shorter grid blocks, fitted to the measured v5e
+# block-height sweep (camera 8x2048², 64/128/256-row blocks: decode
+# 46.8/53.3/57.0 Gpix/s, encode 28.4/31.4/33.1 — both fit t(rows) = a +
+# c/rows within 0.1%; this is the encode/decode average of c/a·t(256)).
+# pad_rows weighs this against the padded-row waste of taller blocks.
+_BLOCK_ROW_PENALTY_SLOPE = 16.5
+
+
+def _block_penalty(rows: int) -> float:
+    return 1.0 + _BLOCK_ROW_PENALTY_SLOPE * (1.0 / rows - 1.0 / 256.0)
+
+
+def n_bands(width: int, hp8: int | None = None,
+            groups_cap: int = BLOCK_GROUPS_CAP) -> int:
+    """Tile rows per grid step.
+
+    Without ``hp8``: the tallest ladder entry (production default), or
+    BANDS_MULT·base when forced.  With ``hp8`` (a padded image height):
+    *inference mode* — the tallest ladder entry dividing hp8//8, so kernels
+    and stream_meta recover the grid geometry from the padded array shape
+    itself.  The stream layout is block-size independent (offsets are
+    absolute), so any consistent inference is correct; pad_rows is the one
+    place that *chooses* the padding (it pads to the decode ladder, whose
+    units are multiples of every encode unit below them, so both caps
+    always find a divisor)."""
+    import math
+
+    wp = width // 8
+    if BANDS_MULT is not None:
+        return BANDS_MULT * (1024 // math.gcd(wp, 1024))
+    ladder = _bands_ladder(width, groups_cap)
+    if hp8 is None:
+        return ladder[-1]
+    rows8 = hp8 // 8
+    for bands in reversed(ladder):
+        if rows8 % bands == 0:
+            return bands
+    raise ValueError(f"padded height {hp8} not a multiple of the base "
+                     f"block ({8 * ladder[0]} rows) for width {width}")
 
 
 def pad_rows(h_img: int, width: int) -> int:
-    """Image rows padded to a whole number of grid blocks."""
-    unit = 8 * n_bands(width)
-    return -(-h_img // unit) * unit
+    """Image rows padded to a whole number of grid blocks.
+
+    H-aware block choice: evaluates every ladder block height (the decode
+    ladder — the taller of the two caps) and picks the one minimizing
+    padded_rows · per-row cost (shorter blocks pay measured per-step
+    overhead — see _BLOCK_ROW_PENALTY_SLOPE; taller blocks pay row padding,
+    up to 31% for e.g. 1080 rows at the 256-row maximum).  Ties go to the
+    taller block.  Kernels recover the choice from the padded shape via
+    ``n_bands(width, hp8, groups_cap)`` — consistency needs pad_rows to
+    never pick a block whose padded height a taller ladder block also
+    divides, which the cost ordering guarantees (equal padded height →
+    taller block has strictly lower cost)."""
+    if BANDS_MULT is not None:
+        unit = 8 * n_bands(width)
+        return -(-h_img // unit) * unit
+    best = None
+    for bands in _bands_ladder(width, BLOCK_GROUPS_CAP_DEC):
+        unit = 8 * bands
+        padded = -(-h_img // unit) * unit
+        cost = padded * _block_penalty(unit)
+        if best is None or cost < best[0] - 1e-9:
+            best = (cost, padded)
+    return best[1]
 
 
-def _geometry(width: int):
-    bands = n_bands(width)
+def _geometry(width: int, hp8: int | None = None,
+              groups_cap: int = BLOCK_GROUPS_CAP):
+    bands = n_bands(width, hp8, groups_cap)
     wp = width // 8
     groups_row = wp // LANES
     return bands, wp, groups_row, bands * groups_row
 
 
-def stream_meta(depths3: jnp.ndarray, width: int) -> jnp.ndarray:
+def stream_meta(depths3: jnp.ndarray, width: int,
+                groups_cap: int = BLOCK_GROUPS_CAP) -> jnp.ndarray:
     """XLA pre-pass: every scalar the kernels need, from the depth grid.
 
     depths3: (B, tp//128, 128) u8 in band layout.  Returns flat i32
@@ -179,11 +252,13 @@ def stream_meta(depths3: jnp.ndarray, width: int) -> jnp.ndarray:
     (1..8) flags depth-k presence in the block, ``gstart_s`` is lane-group
     s's absolute u32-word offset into the frame's payload stream (the
     format's only serialization, dbde_util.cpp:150-158, reduced to one
-    cumsum here), and ``gend`` is the block's end offset.
+    cumsum here), and ``gend`` is the block's end offset.  ``groups_cap``
+    must match the consuming kernel's (encode vs decode block heights).
     """
     B, rows8, _ = depths3.shape
     tp = rows8 * LANES
-    bands, wp, groups_row, groups = _geometry(width)
+    bands, wp, groups_row, groups = _geometry(
+        width, 8 * (tp // (width // 8)), groups_cap)
     nb = tp // (groups * LANES)
     d = depths3.astype(jnp.int32).reshape(B, nb, groups, LANES)
     gtot = 2 * jnp.sum(d, axis=-1)  # (B, nb, groups) u32 words per group
@@ -287,7 +362,7 @@ def encode_depths_kernel(img32: jnp.ndarray, interpret: bool = False):
     layout (encode phase A; dbde_util.cpp:59-75 per-tile min/max/depth)."""
     B, hp8, wq = img32.shape
     W = wq * 4
-    bands, wp, groups_row, groups = _geometry(W)
+    bands, wp, groups_row, groups = _geometry(W, hp8)
     assert W % 1024 == 0 and hp8 % (8 * bands) == 0
     nb = hp8 // (8 * bands)
     tp = (hp8 // 8) * wp
@@ -580,7 +655,7 @@ def encode_payload_kernel(meta: jnp.ndarray, img32: jnp.ndarray,
     when every tile depth in the batch is ≤ mplanes (see _payload_kernel)."""
     B, hp8, wq = img32.shape
     W = wq * 4
-    bands, wp, groups_row, groups = _geometry(W)
+    bands, wp, groups_row, groups = _geometry(W, hp8)
     nb = hp8 // (8 * bands)
     tp = (hp8 // 8) * wp
     rows = payload_rows(tp)
@@ -684,7 +759,7 @@ def _group_totals(depths3: jnp.ndarray, width: int):
     ((B, nb·groups) i32 each) — the scalars behind both variant selectors."""
     B = depths3.shape[0]
     tp = depths3.shape[1] * LANES
-    _, _, _, groups = _geometry(width)
+    _, _, _, groups = _geometry(width, 8 * (tp // (width // 8)))
     nb = tp // (groups * LANES)
     d = depths3.astype(jnp.int32).reshape(B, nb * groups, LANES)
     gtot = 2 * jnp.sum(d, axis=-1)
@@ -962,12 +1037,13 @@ def decode_band_kernel(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndar
     B, rows8, _ = depths.shape
     tp = rows8 * LANES
     assert width % 1024 == 0
-    bands, wp, groups_row, groups = _geometry(width)
+    bands, wp, groups_row, groups = _geometry(
+        width, 8 * (tp // (width // 8)), BLOCK_GROUPS_CAP_DEC)
     hp = tp // wp  # padded tile rows
     assert hp % bands == 0
     nb = hp // bands
     nent = groups + 2
-    meta = stream_meta(depths, width)
+    meta = stream_meta(depths, width, BLOCK_GROUPS_CAP_DEC)
     if chain is None and not interpret and ablate_stage is None:
         gstart, gtot = _group_totals(depths, width)
         need = jnp.max(-((gstart % LANES + gtot) // -LANES))  # ceil rows
@@ -988,7 +1064,8 @@ def _decode_call(chain_rows, width, interpret, ablate_stage,
                  meta, depths, mins, payload):
     B, rows8, _ = depths.shape
     tp = rows8 * LANES
-    bands, wp, groups_row, groups = _geometry(width)
+    bands, wp, groups_row, groups = _geometry(
+        width, 8 * (tp // (width // 8)), BLOCK_GROUPS_CAP_DEC)
     hp = tp // wp
     nb = hp // bands
     nent = groups + 2

@@ -82,8 +82,10 @@ def test_band_codec_arbitrary_width(geom):
 def test_band_codec_odd_width_multiblock():
     """Odd width (W % 4 != 0) through the band materialize path — guards the
     strided-view fix in DbdeCodec.materialize (codec.py ascontiguousarray) —
-    at a multi-block geometry (W=1027 → Wp=2048; H=300 → nb=5 at the CI
-    64-row W=2048 blocks, nb=2 at the shipped adaptive 256-row blocks)."""
+    at a multi-block geometry.  Under the CI BANDS_MULT=2 pin W=1027 wide-
+    folds k=2 onto Wp=1536 kernels (H=300 → 152 kernel rows → nb=2); the
+    production adaptive geometry picks k=4 at Wp=1280 (nb from 64-row
+    blocks) — same fold mechanics, covered on hardware by tpu_soak."""
     from dbde_tpu.codec import DbdeCodec, pack_frames_bytes
 
     H, W = 300, 1027
@@ -175,6 +177,56 @@ def test_band_codec_row_folding(geom):
     rng = np.random.default_rng(11)
     frames = rng.integers(0, 256, (2, H, W)).astype(np.uint8)
     frames[0, : H // 3] = 77  # flat head: depth-0 tiles inside real folds
+    codec = get_codec(H, W)
+    enc = codec.encode(frames)
+    recs = pack_frames_bytes(enc)
+    for b in range(2):
+        assert recs[b][20:] == ref.pack_image(frames[b])
+    out = codec.decode(enc.depths, enc.mins, enc.payload)
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_band_fold_wide_selection():
+    """band_fold's wide-width chooser: k-row folds cut the column pad when
+    the padded row is a multiple of 128/k tiles, candidates that exceed
+    BLOCK_GROUPS_CAP at the *effective* block geometry are skipped, and
+    ties go to the smaller k."""
+    from dbde_tpu.codec import band_fold
+    from dbde_tpu.ops import pallas_band as pb
+
+    saved = pb.BANDS_MULT
+    try:
+        pb.BANDS_MULT = None  # production adaptive blocks
+        assert band_fold(2536, 256) == (2560, 2)  # 21% col pad -> 0.9%
+        assert band_fold(2048, 256) == (2048, 1)  # exact fit: no fold
+        assert band_fold(1920, 135) == (2048, 1)  # k=8 (zero pad) > groups cap
+        assert band_fold(1027, 38) == (1280, 4)   # 98% col pad -> 24%
+        assert band_fold(1200, 256) == (1280, 4)
+        pb.BANDS_MULT = 2  # the CI pin doubles groups: k=4/Wk=5120 excluded
+        assert band_fold(2536, 256) == (3072, 1)
+        assert band_fold(1200, 256) == (1536, 2)
+        assert band_fold(1200, 3) == (2048, 1)    # fold-row pad (3->4) ties
+        #   k=2 back to k=1 at this tiny height; ties go to the smaller k
+    finally:
+        pb.BANDS_MULT = saved
+    # narrow behavior unchanged (independent of block geometry)
+    assert band_fold(320) == (512, 2)
+    assert band_fold(53) == (64, 16)
+    assert band_fold(1024) == (1024, 1)
+
+
+def test_band_codec_wide_fold():
+    """Wide-width row folding (k=2 at Wp=1536 under the CI pin): column-pad
+    tiles inside each fold half, a ragged last fold (5 tile rows -> 6), and
+    a flat stripe (depth-0 tiles inside real folds).  Byte stream must be
+    fold-invariant."""
+    from dbde_tpu.codec import band_fold, pack_frames_bytes
+
+    H, W = 40, 1200
+    assert band_fold(W, -(-H // 8)) == (1536, 2)
+    rng = np.random.default_rng(17)
+    frames = (rng.integers(0, 256, (2, H, W)) & rng.integers(0, 256, (2, H, W))).astype(np.uint8)
+    frames[0, :8] = 9  # flat tile row: depth-0 tiles inside a real fold
     codec = get_codec(H, W)
     enc = codec.encode(frames)
     recs = pack_frames_bytes(enc)

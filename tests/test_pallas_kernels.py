@@ -212,3 +212,44 @@ def test_kernel_parity_multiblock():
     # 96x800 -> 12x100 = 1200 tiles > 1024
     frames = (rng.integers(0, 64, (1, 96, 800)) + 10).astype(np.uint8)
     roundtrip_check(pk, frames)
+
+
+def test_block_pad_policy_inference_consistency():
+    """pad_rows (the H-aware block-height policy) and n_bands(width, hp8)
+    (the kernels' shape inference) must always agree: whatever padded
+    height the policy emits, inference recovers exactly the block the
+    policy chose — for every ladder width class and heights around every
+    block boundary.  Also pins the motivating cases: 1080 rows pick
+    128-row blocks (6.7% pad beats 18.5% at the 256-row optimum), exact
+    multiples keep the tallest block, and a forced BANDS_MULT bypasses
+    the policy (the CI pin)."""
+    import dbde_tpu.ops.pallas_band as pb
+
+    saved = pb.BANDS_MULT
+    try:
+        pb.BANDS_MULT = None
+        for W in (1024, 2048, 3072, 5120, 8192, 15360):
+            ladder = pb._bands_ladder(W, pb.BLOCK_GROUPS_CAP_DEC)
+            for h in (1, 40, 63, 64, 65, 100, 127, 128, 129, 255, 256, 257,
+                      511, 512, 1024, 1080, 2048, 2049):
+                hp8 = pb.pad_rows(h, W)
+                bands = pb.n_bands(W, hp8, pb.BLOCK_GROUPS_CAP_DEC)
+                assert hp8 >= h and hp8 % (8 * bands) == 0
+                cost = lambda b: (-(-h // (8 * b)) * 8 * b) * pb._block_penalty(8 * b)
+                best = min(ladder, key=lambda b: (cost(b), -b))
+                assert bands == best and hp8 == -(-h // (8 * best)) * 8 * best, (
+                    W, h, hp8, bands, best)
+                # the encode kernels' (shorter-ladder) inference always
+                # divides the decode-ladder padding
+                enc = pb.n_bands(W, hp8)
+                assert hp8 % (8 * enc) == 0 and bands % enc == 0
+        assert pb.pad_rows(1080, 2048) == 1152  # 128-row blocks
+        assert pb.n_bands(2048, 1152) == 16
+        assert pb.pad_rows(2048, 2048) == 2048  # flagship: tallest block
+        assert pb.n_bands(2048, 2048) == 32
+        assert pb.pad_rows(64, 3072) == 64      # small frames: short block
+        pb.BANDS_MULT = 2
+        assert pb.pad_rows(1080, 2048) == 1088 and pb.n_bands(2048) == 8
+        assert pb.pad_rows(40, 1024) == 128 and pb.n_bands(1024) == 16
+    finally:
+        pb.BANDS_MULT = saved

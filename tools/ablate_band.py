@@ -53,14 +53,18 @@ def main():
     img32 = jax.device_put(codec._to_img32(img))
     enc = codec.encode(img)
     npix = B * H * W
-    bands = pb.n_bands(W)
+    Wk = pb_width(W, H)
+    hp8 = img32.shape[1]
+    benc = pb.n_bands(Wk, hp8)
+    bdec = pb.n_bands(Wk, hp8, pb.BLOCK_GROUPS_CAP_DEC)
     print(f"geom {B}x{H}x{W} {content}; BANDS_MULT={pb.BANDS_MULT} "
-          f"(block {8*bands} rows, {bands * (W // 8 // pb.LANES)} groups)")
+          f"(kernel width {Wk}, blocks enc {8*benc}/dec {8*bdec} rows, "
+          f"{benc * (Wk // 8 // pb.LANES)}/{bdec * (Wk // 8 // pb.LANES)} groups)")
 
     print("== encode ==")
     t_a = measure_device_seconds(jax.jit(pb.encode_depths_kernel), img32, reps=8)
     print(f"  phase A (depths/mins)             {t_a*1e3:7.3f} ms")
-    meta_fn = jax.jit(functools.partial(pb.stream_meta, width=W))
+    meta_fn = jax.jit(functools.partial(pb.stream_meta, width=Wk))
     d3, m3 = jax.jit(pb.encode_depths_kernel)(img32)
     t_m = measure_device_seconds(meta_fn, d3, reps=8)
     print(f"  stream_meta XLA pass              {t_m*1e3:7.3f} ms")
@@ -82,7 +86,7 @@ def main():
     names = ["dma+meta", "+window gathers", "+unpack", "full(+repack/transpose)"]
     prev = 0.0
     for st in (0, 1, 2, None):
-        fn = jax.jit(functools.partial(pb.decode_band_kernel, width=pb_width(W),
+        fn = jax.jit(functools.partial(pb.decode_band_kernel, width=pb_width(W, H),
                                        ablate_stage=st))
         t = measure_device_seconds(fn, d3r, m3r, p3, reps=8)
         nm = names[3 if st is None else st]
@@ -91,26 +95,32 @@ def main():
         prev = t
 
 
-def pb_width(W):
-    from dbde_tpu.codec import band_width
+def pb_width(W, H):
+    """Fold-aware band kernel width (codec.band_fold: k*Wp)."""
+    from dbde_tpu.codec import band_fold
+    from dbde_tpu.format import tile_grid
 
-    return band_width(W)
+    h, _ = tile_grid(W, H)
+    Wp, k = band_fold(W, h)
+    return k * Wp
 
 
 def _decode_inputs(enc, H, W):
-    """Rebuild the padded decode-kernel inputs the way _decode_fn_band does."""
-    from dbde_tpu.codec import band_width
+    """Rebuild the padded+folded decode-kernel inputs the way
+    _decode_fn_band does."""
+    from dbde_tpu.codec import band_fold
     from dbde_tpu.format import tile_grid
 
     B, T = enc.depths.shape
     h, w = tile_grid(W, H)
-    Wp = band_width(W)
+    Wp, k = band_fold(W, h)
+    Wk = k * Wp
     wpp = Wp // 8
-    hp = pb.pad_rows(H, Wp) // 8
-    tp = hp * wpp
+    hpf = pb.pad_rows(8 * ((-(-h // k) * k) // k), Wk) // 8  # folded tile rows
+    tp = hpf * k * wpp
     rows = pb.payload_rows(tp)
-    d = jnp.zeros((B, hp, wpp), jnp.uint8).at[:, :h, :w].set(enc.depths.reshape(B, h, w))
-    m = jnp.zeros((B, hp, wpp), jnp.uint8).at[:, :h, :w].set(enc.mins.reshape(B, h, w))
+    d = jnp.zeros((B, hpf * k, wpp), jnp.uint8).at[:, :h, :w].set(enc.depths.reshape(B, h, w))
+    m = jnp.zeros((B, hpf * k, wpp), jnp.uint8).at[:, :h, :w].set(enc.mins.reshape(B, h, w))
     if enc.payload.ndim == 3:  # kernel-shaped band payload: already (B,R,128)
         p3 = enc.payload
     else:
