@@ -218,9 +218,6 @@ def run_composed_stream_bench(width: int = 2048, height: int = 2048,
     enc = codec.encode(src)
     enc_input = codec._to_img32(src) if codec.backend == "band" else src
     t_enc_dev = _measure(codec._encode, enc_input, reps=4)
-    t_dec_dev = _measure(codec._decode, enc.depths, enc.mins, enc.payload, reps=4)
-    out = codec.decode(enc.depths, enc.mins, enc.payload)
-    np.testing.assert_array_equal(np.asarray(out), src)  # never bench wrong results
 
     # encoded fields to host ONCE, outside any timed leg (on this rig the
     # transfer is the tunnel artifact; a production host pays the PCIe
@@ -232,6 +229,21 @@ def run_composed_stream_bench(width: int = 2048, height: int = 2048,
         payload=enc.payload_host(2 * int(n64_np.max())),
         n64=n64_np,
     )
+
+    # decode device leg with the FILE-shaped inputs the reader actually
+    # dispatches: a flat (B, stride) payload at DbdeReader's 64Ki-word
+    # stride rounding, not the encoder's kernel-native (B, R, 128) shape —
+    # the flat path pays a device-side pad+relayout the composed pipeline
+    # really incurs (kernel-shaped decode would understate the leg ~12%)
+    stride = min(16 * codec.tiles,
+                 -(-2 * int(n64_np.max()) // 65536) * 65536 or 2)
+    pay_flat = np.zeros((B, stride), np.uint32)
+    live = enc_host.payload[:, :stride]
+    pay_flat[:, : live.shape[1]] = live
+    t_dec_dev = _measure(codec._decode, enc_host.depths, enc_host.mins,
+                         pay_flat, reps=4)
+    out = codec.decode(enc_host.depths, enc_host.mins, pay_flat)
+    np.testing.assert_array_equal(np.asarray(out), src)  # never bench wrong results
 
     # --- host legs over /dev/shm (no device, no transfer) ---
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -262,16 +274,24 @@ def run_composed_stream_bench(width: int = 2048, height: int = 2048,
             enc_bytes = os.path.getsize(path)
         t_asm = float(np.median(t_write))
 
-        # per-batch parse timing, median over passes: the reader's pooled
-        # buffers (reuse_buffers) warm up over its first two batches, and
-        # this 1-core VM throws occasional ~200 ms reclaim hiccups — the
-        # median is the sustained rate, which is what the composition models
+        # per-batch parse timing, median over passes: drives the SAME
+        # release-gated pooled path the device iterator runs
+        # (DbdeReader._pooled_batches), with releases sequenced exactly as
+        # _iter_device sequences them (a batch's slot frees `pipeline`
+        # batches later, when its decode output would materialize) — so the
+        # leg number is produced by the code path __iter__ actually uses.
+        # Median over passes: pool slots warm up over the first
+        # pipeline+1 batches, and this 1-core VM throws occasional ~200 ms
+        # reclaim hiccups — the median is the sustained rate the
+        # composition models.
+        import collections
+
         t_parse = []
         for _ in range(3):
             got = 0
-            with DbdeReader(path, batch_size=B, device=False,
-                            reuse_buffers=2) as rd:
-                it = rd.iter_raw()
+            with DbdeReader(path, batch_size=B, device=False) as rd:
+                it = rd._pooled_batches()
+                inflight = collections.deque()
                 while True:
                     t0 = time.perf_counter()
                     batch = next(it, None)
@@ -279,6 +299,9 @@ def run_composed_stream_bench(width: int = 2048, height: int = 2048,
                         break
                     t_parse.append(time.perf_counter() - t0)
                     got += len(batch[0])
+                    inflight.append(batch[2])
+                    if len(inflight) > rd.pipeline:
+                        inflight.popleft()()  # release as materialize would
             assert got == nbatches * B
         t_par = float(np.median(t_parse))
     finally:

@@ -138,7 +138,7 @@ def scan_records(buf: bytes, start: int, tiles: int, max_records: int):
 
 
 def gather_fields(buf: bytes, data_offsets, tiles: int, payload_stride_words: int,
-                  threads: int = 4, scratch: dict | None = None):
+                  threads: int = 4, scratch: dict | None = None, out=None):
     """Batched parse of frame-data records → fixed-stride arrays.
 
     Returns (depths (B,T) u8, mins (B,T) u8, payload (B,S) u32, n64 (B,) i32).
@@ -150,12 +150,20 @@ def gather_fields(buf: bytes, data_offsets, tiles: int, payload_stride_words: in
     fault cost of per-batch ``np.empty`` (~60% of parse time at 16×2048² —
     ROUND3_NOTES).  Arrays from a pooled call are overwritten again after
     ``nslots`` further calls; consumers must finish with them by then.
+
+    Alternatively pass ``out`` — an explicit (depths, mins, payload, n64)
+    tuple of exactly-shaped contiguous arrays to fill.  This is the hook
+    for release-gated pools (stream._GatedPool), where slot lifetime is
+    controlled by the consumer rather than a fixed rotation depth.
     """
     lib = get_lib()
     B = len(data_offsets)
     ptr, n_buf, _keep = _buf_ptr(buf)
     offs = np.asarray(data_offsets, np.int64)
-    if scratch is not None:
+    if out is not None:
+        depths, mins, payload, n64s = out
+        assert depths.shape == (B, tiles) and payload.shape == (B, payload_stride_words)
+    elif scratch is not None:
         key = (B, tiles, payload_stride_words)
         if scratch.get("key") != key:
             scratch["key"], scratch["slots"], scratch["i"] = key, [], 0

@@ -77,6 +77,31 @@ except (AttributeError, OSError, ValueError):
     _IOV_MAX = 1024
 
 
+class _GatedPool:
+    """Release-gated parse-buffer pool for the async device pipeline.
+
+    Unlike the fixed-depth rotation of ``reuse_buffers`` (safe only when the
+    consumer is done with a batch after N more reads), a slot here returns to
+    the free list only when the consumer explicitly releases it — which the
+    device iterator does after *materializing* the batch's decode output,
+    because output-ready implies the decode program ran, which implies its
+    host→device input transfers completed.  That gate is what makes pooled
+    parsing legal under async dispatch (a blind rotation could overwrite a
+    batch whose transfer is still in flight).  Steady state allocates
+    ``pipeline + 1`` slots per array-shape key and then reuses them forever.
+    """
+
+    def __init__(self):
+        self._free: dict = {}
+
+    def acquire(self, key):
+        lst = self._free.get(key)
+        return lst.pop() if lst else None
+
+    def release(self, key, slot) -> None:
+        self._free.setdefault(key, []).append(slot)
+
+
 def _writev_all(fd: int, iov: list) -> int:
     """``os.writev`` an entire buffer list (chunked to IOV_MAX, resuming
     partial writes).  The kernel's gather copy into the page cache is the
@@ -121,7 +146,8 @@ class DbdeReader:
         # time at 16×2048²).  A batch's arrays are overwritten after N more
         # batches are read — keep 0 (off) if the consumer retains them.
         # Applies to iter_raw/host decoding only; the async device iterator
-        # always takes fresh arrays (see _read_batch_arrays).
+        # always pools via the release-gated _GatedPool (safe by
+        # construction — see _pooled_batches), independent of this knob.
         self._gather_scratch = (
             {"nslots": int(reuse_buffers)} if reuse_buffers else None
         )
@@ -239,14 +265,18 @@ class DbdeReader:
                 return None
             self._fill()
 
-    def _read_batch_arrays(self, pooled: bool = True):
+    def _read_batch_arrays(self, pooled: bool = True, pool: _GatedPool | None = None):
         """Parse up to batch_size records → (headers, depths, mins, payload).
 
         Uses the native C++ scanner/parser when available (zero-copy over the
         read buffer, multithreaded memcpy); numpy fallback otherwise.
-        ``pooled=False`` bypasses the ``reuse_buffers`` pool — required when
-        the consumer hands the arrays to an *async* device dispatch, where a
-        later rotation could overwrite a batch still in flight.
+        ``pooled=False`` bypasses the ``reuse_buffers`` rotation pool.
+
+        ``pool``: a :class:`_GatedPool` — the arrays come from (and must be
+        returned to) a release-gated slot, and the return value grows a third
+        element ``release`` (a zero-arg callable).  This is how the async
+        device iterator gets pooled parsing safely: the slot is only reused
+        after the consumer proves the batch's host→device transfer finished.
         """
         from .codec import unpack_frames_bytes
 
@@ -282,6 +312,18 @@ class DbdeReader:
         # round the payload stride up to bound device-program recompiles while
         # keeping host->device transfer near the true encoded size
         stride = min(16 * self.tiles, -(-2 * max_n64 // 65536) * 65536 or 2)
+        if pool is not None and self._native is not None:
+            B = len(headers)
+            key = (B, self.tiles, stride)
+            slot = pool.acquire(key)
+            if slot is None:
+                slot = (np.empty((B, self.tiles), np.uint8),
+                        np.empty((B, self.tiles), np.uint8),
+                        np.empty((B, stride), np.uint32),
+                        np.empty((B,), np.int32))
+            arrays = self._native.gather_fields(self._buf, offsets, self.tiles,
+                                                stride, out=slot)
+            return headers, arrays, lambda: pool.release(key, slot)
         if self._native is not None:
             scratch = self._gather_scratch if pooled else None
             arrays = self._native.gather_fields(self._buf, offsets, self.tiles, stride,
@@ -291,6 +333,8 @@ class DbdeReader:
             arrays = unpack_frames_bytes(
                 buf, self.width, self.height, offsets, stride
             )
+        if pool is not None:
+            return headers, arrays, lambda: None  # fresh arrays: nothing to gate
         return headers, arrays
 
     # -- iteration -----------------------------------------------------------
@@ -326,27 +370,48 @@ class DbdeReader:
             tiles[t] = ref._unpack_tile_payload(pay8[start : start + 8 * d].tobytes(), d, int(mins[t]))
         return ref.untile_image(tiles, self.width, self.height)
 
+    def _pooled_batches(self):
+        """The device iterator's parse path: release-gated pooled batches.
+
+        Yields (headers, arrays, release).  ``release()`` returns the parse
+        buffers to the pool; the consumer calls it once the batch's
+        host→device transfer has provably completed (materializing any
+        result computed from the batch implies it).  Steady-state slot use
+        is ``pipeline + 1`` buffers reused forever — the same fresh-page
+        fault saving as ``reuse_buffers`` (~60% of parse time at 16×2048²,
+        ROUND3_NOTES) made legal for async dispatch by the explicit gate.
+        Also driven directly by bench_core.run_composed_stream_bench so the
+        composed parse-leg number measures exactly this code path.
+        """
+        pool = _GatedPool()
+        while True:
+            batch = self._read_batch_arrays(pool=pool)
+            if batch is None:
+                return
+            yield batch
+
     def _iter_device(self):
         pending = collections.deque()
+        batches = self._pooled_batches()
 
         def dispatch():
-            # pooled=False: decode_dispatch is async — a pool rotation could
-            # overwrite a batch whose host->device transfer is still in flight
-            batch = self._read_batch_arrays(pooled=False)
+            batch = next(batches, None)
             if batch is None:
                 return False
-            headers, (depths, mins, payload, n64) = batch
+            headers, (depths, mins, payload, n64), release = batch
             frames = self._codec.decode_dispatch(depths, mins, payload)  # async
-            pending.append((headers, frames))
+            pending.append((headers, frames, release))
             return True
 
         while len(pending) < self.pipeline and dispatch():
             pass
         while pending:
             dispatch()  # overlap: parse + dispatch next while current computes
-            headers, frames = pending.popleft()
+            headers, frames, release = pending.popleft()
             self.frames_read += len(headers)
-            yield headers, self._codec.materialize(frames)  # blocks on device
+            out = self._codec.materialize(frames)  # blocks on device
+            release()  # decode output ready ⇒ h2d transfers done ⇒ slot free
+            yield headers, out
 
     def iter_raw(self):
         """Yield (headers, (depths, mins, payload, n64)) batches without

@@ -118,6 +118,51 @@ def test_reader_reuse_buffers_parity(tmp_path, frames):
             np.testing.assert_array_equal(x, y)
 
 
+def test_pooled_batches_gated_slot_reuse(tmp_path, frames):
+    """The device iterator's release-gated parse pool (_pooled_batches):
+    a slot is reused ONLY after its release() — the invariant that makes
+    pooled parsing legal under async device dispatch (an unreleased batch's
+    buffers must survive untouched however many batches follow)."""
+    p = tmp_path / "i.dbde"
+    write_video(p, frames, device=False)
+    with DbdeReader(p, batch_size=4, device=False) as r:
+        want = [(hs, [np.array(a) for a in arrs]) for hs, arrs in r.iter_raw()]
+
+    # no releases: every batch gets fresh buffers; early batches' arrays
+    # stay valid (and correct) after the whole file has been parsed
+    with DbdeReader(p, batch_size=4, device=False) as r:
+        if r._native is None:
+            pytest.skip("native parser unavailable")
+        held = [(hs, arrs) for hs, arrs, release in r._pooled_batches()]
+    ids = [id(arrs[2]) for _, arrs in held]
+    assert len(set(ids)) == len(ids)  # distinct payload buffers throughout
+    for (h1, a1), (h2, a2) in zip(want, held):
+        assert [x.index for x in h1] == [x.index for x in h2]
+        for x, y in zip(a1, a2):
+            np.testing.assert_array_equal(x, y)
+
+    # pipeline-depth releases (as _iter_device sequences them): slots DO
+    # get reused — bounded allocation — and the batch contents still match
+    import collections
+
+    with DbdeReader(p, batch_size=4, device=False) as r:
+        it = r._pooled_batches()
+        inflight = collections.deque()
+        got, ids = [], []
+        for hs, arrs, release in it:
+            got.append((hs, [np.array(a) for a in arrs]))
+            ids.append(id(arrs[2]))
+            inflight.append(release)
+            if len(inflight) > r.pipeline:
+                inflight.popleft()()
+    full = [i for i, (_, a) in enumerate(got) if a[0].shape[0] == 4]
+    assert len(set(ids[i] for i in full)) <= r.pipeline + 1  # slots reused
+    for (h1, a1), (h2, a2) in zip(want, got):
+        assert [x.index for x in h1] == [x.index for x in h2]
+        for x, y in zip(a1, a2):
+            np.testing.assert_array_equal(x, y)
+
+
 def test_elapsed_ns_and_indices_roundtrip(tmp_path, frames):
     p = tmp_path / "g.dbde"
     with DbdeWriter(p, height=21, width=34, device=True) as w:
