@@ -21,7 +21,7 @@ the host avoids a device-side all-to-all entirely.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -172,6 +172,67 @@ def _decode_block_band(depths_local, mins_local, segment_local,
 
 
 # ---------------------------------------------------------------------------
+# cached compiled sharded programs: the file helpers below call encode/decode
+# once per batch, and a freshly-constructed shard_map closure per call would
+# defeat jax.jit's compile cache — Mesh is hashable, so memoize the jitted
+# callables by (mesh, geometry) and let jit cache executables per shape
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _encode_band_jit(mesh: Mesh, h_loc: int, W: int, interpret: bool):
+    fn = jax.shard_map(
+        partial(_encode_block_band, h_loc=h_loc, W=W, interpret=interpret),
+        mesh=mesh,
+        in_specs=P("data", "tiles", None),
+        out_specs=(P("data", "tiles"), P("data", "tiles"), P("data", "tiles"),
+                   P("tiles", "data"), P("tiles", "data")),
+        check_vma=False,  # pallas_call out_shapes carry no vma metadata
+    )
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _decode_band_jit(mesh: Mesh, h_loc: int, W: int, interpret: bool):
+    fn = jax.shard_map(
+        partial(_decode_block_band, h_loc=h_loc, W=W, interpret=interpret),
+        mesh=mesh,
+        in_specs=(P("data", "tiles"), P("data", "tiles"), P("data", "tiles")),
+        out_specs=P("data", "tiles", None),
+        check_vma=False,  # pallas_call out_shapes carry no vma metadata
+    )
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _encode_xla_jit(mesh: Mesh):
+    fn = jax.shard_map(
+        _encode_block,
+        mesh=mesh,
+        in_specs=P("data", "tiles", None),
+        out_specs=(
+            P("data", "tiles"),  # depths: T dim band-sharded
+            P("data", "tiles"),  # mins
+            P("data", "tiles"),  # payload segments, concatenated band-major
+            P("tiles", "data"),  # totals per shard
+            P("tiles", "data"),  # bases per shard
+        ),
+    )
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _decode_xla_jit(mesh: Mesh, H_local: int, W: int):
+    fn = jax.shard_map(
+        partial(_decode_block, H_local=H_local, W=W),
+        mesh=mesh,
+        in_specs=(P("data", "tiles"), P("data", "tiles"), P("data", "tiles")),
+        out_specs=P("data", "tiles", None),
+    )
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
 # public sharded API
 # ---------------------------------------------------------------------------
 
@@ -225,16 +286,8 @@ def encode_sharded(images, mesh: Mesh, backend: str = "auto"):
     if backend == "band":
         h, w, h_loc, L_real, L = _band_geometry(W, H, n_tiles)
         img32 = _prep_band_img32(images, n_tiles)
-        fn = jax.shard_map(
-            partial(_encode_block_band, h_loc=h_loc, W=W,
-                    interpret=_mesh_interpret(mesh)),
-            mesh=mesh,
-            in_specs=P("data", "tiles", None),
-            out_specs=(P("data", "tiles"), P("data", "tiles"), P("data", "tiles"),
-                       P("tiles", "data"), P("tiles", "data")),
-            check_vma=False,  # pallas_call out_shapes carry no vma metadata
-        )
-        depth, mn, payload, totals, bases = jax.jit(fn)(img32)
+        depth, mn, payload, totals, bases = _encode_band_jit(
+            mesh, h_loc, W, _mesh_interpret(mesh))(img32)
         return depth, mn, payload, totals, bases, 8 * h
     h = -(-H // 8)
     if h % n_tiles != 0:
@@ -243,20 +296,7 @@ def encode_sharded(images, mesh: Mesh, backend: str = "auto"):
             "bit-exact sharded encode; pick n_tiles dividing ceil(H/8)"
         )
     images, Hp = _pad_to_bands(images, n_tiles)
-
-    fn = jax.shard_map(
-        _encode_block,
-        mesh=mesh,
-        in_specs=P("data", "tiles", None),
-        out_specs=(
-            P("data", "tiles"),  # depths: T dim band-sharded
-            P("data", "tiles"),  # mins
-            P("data", "tiles"),  # payload segments, concatenated band-major
-            P("tiles", "data"),  # totals per shard
-            P("tiles", "data"),  # bases per shard
-        ),
-    )
-    depth, mn, payload, totals, bases = jax.jit(fn)(images)
+    depth, mn, payload, totals, bases = _encode_xla_jit(mesh)(images)
     return depth, mn, payload, totals, bases, Hp
 
 
@@ -267,25 +307,11 @@ def decode_sharded(depths, mins, segments, mesh: Mesh, H: int, W: int, Hp: int,
     backend = _resolve_backend(backend, W)
     if backend == "band":
         h, w, h_loc, L_real, L = _band_geometry(W, H, n_tiles)
-        fn = jax.shard_map(
-            partial(_decode_block_band, h_loc=h_loc, W=W,
-                    interpret=_mesh_interpret(mesh)),
-            mesh=mesh,
-            in_specs=(P("data", "tiles"), P("data", "tiles"), P("data", "tiles")),
-            out_specs=P("data", "tiles", None),
-            check_vma=False,  # pallas_call out_shapes carry no vma metadata
-        )
-        out32 = jax.jit(fn)(depths, mins, segments)
+        out32 = _decode_band_jit(mesh, h_loc, W, _mesh_interpret(mesh))(
+            depths, mins, segments)
         return np.asarray(out32).view(np.uint8)[:, :H, :W]
     H_local = Hp // n_tiles
-
-    fn = jax.shard_map(
-        partial(_decode_block, H_local=H_local, W=W),
-        mesh=mesh,
-        in_specs=(P("data", "tiles"), P("data", "tiles"), P("data", "tiles")),
-        out_specs=P("data", "tiles", None),
-    )
-    out = jax.jit(fn)(depths, mins, segments)
+    out = _decode_xla_jit(mesh, H_local, W)(depths, mins, segments)
     return np.asarray(out[:, :H, :W])
 
 
@@ -357,3 +383,146 @@ def assemble_payload_host(segments, totals) -> list[np.ndarray]:
         np.concatenate([segments[b, s, : totals[s, b]] for s in range(n_tiles)])
         for b in range(B)
     ]
+
+
+def segment_slot_words(W: int, H: int, n_tiles: int, backend: str = "auto") -> int:
+    """Per-shard payload segment slot size in u32 words — the stride both
+    :func:`encode_sharded` emits and :func:`decode_sharded` expects per
+    shard (worst-case 16 words/tile plus, for the band kernels, the staged
+    DMA slack of pallas_band.payload_rows)."""
+    backend = _resolve_backend(backend, W)
+    h, w, h_loc, L_real, L = _band_geometry(W, H, n_tiles)
+    if backend == "band":
+        from ..codec import _fold_rows, band_fold
+        from ..ops import pallas_band as pb
+
+        Wp, k = band_fold(W, h_loc)
+        hpf = pb.pad_rows(8 * (_fold_rows(h_loc, k) // k), k * Wp) // 8
+        return pb.payload_rows(hpf * k * (Wp // 8)) * pb.LANES
+    return 16 * h_loc * w
+
+
+def split_payload_host(payload, depths, H: int, W: int, n_tiles: int,
+                       backend: str = "auto") -> np.ndarray:
+    """File-flat per-frame payloads → per-shard worst-case segments.
+
+    The inverse of :func:`assemble_payload_host`, computable entirely on
+    the host from per-band depth sums: shard ``s`` of frame ``b`` owns tile
+    rows ``[s*h_loc, (s+1)*h_loc)``, so its segment is the
+    ``2*Σ depths``-word slice of the flat stream starting at the exclusive
+    prefix of the earlier shards' word counts (the same prefix the device
+    encode derives with its one-scalar all_gather).  This is what lets a
+    mesh decode a file's bytes — the walker→decoder coupling the reference
+    has single-threaded (dbde_util.cpp:362-426), at mesh scale.
+
+    payload: (B, S) u32 flat streams (any S ≥ each frame's 2*n64);
+    depths: (B, T) u8.  Returns (B, n_tiles*S_local) u32 zero-padded
+    segments ready for :func:`decode_sharded`.
+    """
+    depths = np.asarray(depths)
+    payload = np.asarray(payload)
+    B, T = depths.shape
+    h, w = tile_grid(W, H)
+    if h % n_tiles != 0:
+        raise ValueError(
+            f"tile rows ({h}) must divide evenly into {n_tiles} bands; "
+            "pick n_tiles dividing ceil(H/8)"
+        )
+    h_loc = h // n_tiles
+    counts = 2 * depths.reshape(B, n_tiles, h_loc * w).astype(np.int64).sum(-1)
+    bases = np.cumsum(counts, axis=1) - counts
+    S_local = segment_slot_words(W, H, n_tiles, backend)
+    out = np.zeros((B, n_tiles, S_local), np.uint32)
+    for b in range(B):
+        for s in range(n_tiles):
+            c = counts[b, s]
+            out[b, s, :c] = payload[b, bases[b, s] : bases[b, s] + c]
+    return out.reshape(B, n_tiles * S_local)
+
+
+# ---------------------------------------------------------------------------
+# sharded file layer: the L3 walker/writer coupled to the mesh codec
+# ---------------------------------------------------------------------------
+
+
+def write_video_sharded(path, frames, mesh: Mesh, frame_hz: float = 1.0,
+                        backend: str = "auto", batch_size: int = 16,
+                        hz_as_integer: bool = False) -> None:
+    """Encode a (N, H, W) u8 stack to a ``.dbde`` file on a device mesh.
+
+    Each batch shards over the mesh (frames over ``data``, tile-row bands
+    over ``tiles``); the host assembles the ragged payload segments
+    (:func:`assemble_payload_host`) and writes records byte-identical to the
+    single-chip writer — band-major tile order equals global row-major
+    order, the invariant :func:`encode_sharded` guarantees.  Tail batches
+    that don't fill the data axis are padded with repeated frames on device
+    and dropped at the file boundary.
+    """
+    from ..codec import record_iovecs
+    from ..format import VideoHeader
+    from ..stream import _writev_all
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    N, H, W = frames.shape
+    n_data = mesh.shape["data"]
+    step = max(batch_size - batch_size % n_data, n_data)
+    with open(path, "wb") as f:
+        f.write(VideoHeader(height=H, width=W, frame_hz=frame_hz).pack(hz_as_integer))
+        f.flush()  # the records below bypass the buffer via writev on the fd
+        for i in range(0, N, step):
+            batch = frames[i : i + step]
+            n = batch.shape[0]
+            if n % n_data:  # pad the tail to fill the data axis; drop below
+                pad = n_data - n % n_data
+                batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)])
+            depth, mn, payload, totals, bases, Hp = encode_sharded(
+                batch, mesh, backend=backend)
+            payloads = assemble_payload_host(payload, totals)[:n]
+            n64 = np.asarray(totals).astype(np.int64).sum(0)[:n] // 2
+            mx = 2 * int(n64.max()) if n else 0
+            pay = np.zeros((n, mx), np.uint32)
+            for b in range(n):
+                pay[b, : payloads[b].size] = payloads[b]
+            iov = record_iovecs(np.asarray(depth)[:n], np.asarray(mn)[:n],
+                                pay, n64, indices=range(i, i + n))
+            _writev_all(f.fileno(), iov)
+
+
+def read_video_sharded(path, mesh: Mesh, backend: str = "auto",
+                       batch_size: int = 16, hz_as_integer: bool = False):
+    """Decode a whole ``.dbde`` file on a device mesh →
+    (VideoHeader, [FrameHeader], (N, H, W) u8).
+
+    The host walker (:meth:`DbdeReader.iter_raw`) scans and parses records;
+    each batch's flat payloads split into per-shard segments
+    (:func:`split_payload_host`) and decode across the mesh
+    (:func:`decode_sharded`).  Tail batches pad the data axis with zero
+    records (depth 0 everywhere — a frame of zeros) and slice them off
+    after decode.
+    """
+    from ..stream import DbdeReader
+
+    n_data = mesh.shape["data"]
+    n_tiles = mesh.shape["tiles"]
+    headers_all, chunks = [], []
+    with DbdeReader(path, batch_size=max(batch_size, n_data), device=False,
+                    hz_as_integer=hz_as_integer) as rd:
+        H, W = rd.height, rd.width
+        Hp = 8 * tile_grid(W, H)[0]
+        for headers, (depths, mins, payload, n64) in rd.iter_raw():
+            n = len(headers)
+            if n % n_data:
+                pad = n_data - n % n_data
+                z8 = np.zeros((pad, depths.shape[1]), np.uint8)
+                depths = np.concatenate([depths, z8])
+                mins = np.concatenate([mins, z8])
+                payload = np.concatenate(
+                    [payload, np.zeros((pad, payload.shape[1]), np.uint32)])
+            segments = split_payload_host(payload, depths, H, W, n_tiles, backend)
+            out = decode_sharded(depths, mins, segments, mesh, H=H, W=W,
+                                 Hp=Hp, backend=backend)
+            headers_all.extend(headers)
+            chunks.append(np.asarray(out)[:n])
+        frames = (np.concatenate(chunks) if chunks
+                  else np.empty((0, rd.height, rd.width), np.uint8))
+        return rd.header, headers_all, frames

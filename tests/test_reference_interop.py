@@ -347,3 +347,28 @@ def test_our_reader_reads_reference_walker_files(encdump, tmp_path):
         assert vh.frame_hz == 750.5
         assert [fh.index for fh in headers] == [i * 7 for i in range(N)]
         np.testing.assert_array_equal(out, frames)
+
+
+def test_reference_file_decodes_on_mesh(encdump, tmp_path):
+    """A file encoded by the reference's own binary decodes pixel-exactly
+    through the sharded mesh path (read_video_sharded: host walker →
+    split_payload_host → decode_sharded on a virtual 2×2 mesh) — the
+    L3 ↔ multi-chip integration the reference does single-threaded inside
+    its walk loop (dbde_util.cpp:408-421)."""
+    from dbde_tpu.parallel import make_mesh, read_video_sharded
+
+    H, W = 32, 44  # 4 tile rows → 2 per shard
+    N = 5
+    rng = np.random.default_rng(41)
+    frames = np.stack([_content(rng, H, W, "masked") for _ in range(N)])
+    raw = tmp_path / "in_mesh.raw"
+    frames.tofile(raw)
+    path = tmp_path / "theirs_mesh.dbde"
+    r = subprocess.run([encdump, str(W), str(H), str(N), str(raw), str(path)],
+                       capture_output=True, timeout=300, text=True)
+    assert r.returncode == 0, r.stderr
+    mesh = make_mesh(n_data=2, n_tiles=2)
+    vh, headers, out = read_video_sharded(path, mesh, batch_size=2)
+    assert (vh.height, vh.width) == (H, W)
+    assert [fh.index for fh in headers] == [i * 7 for i in range(N)]
+    np.testing.assert_array_equal(out, frames)
