@@ -52,9 +52,21 @@ def read_pgm(path) -> np.ndarray:
         vals = np.array(tokens[4 : 4 + W * H], dtype=np.int64)
         return (vals * 255 // max(maxval, 1)).astype(np.uint8).reshape(H, W)
     if data[:2] == b"P5":
-        # header: P5 <ws> W <ws> H <ws> maxval <single ws> raster
-        parts = data.split(maxsplit=4)
-        W, H, maxval = int(parts[1]), int(parts[2]), int(parts[3])
-        raster = parts[4] if len(parts) > 4 else b""
-        return np.frombuffer(raster[: W * H], dtype=np.uint8).reshape(H, W)
+        # header: P5 <ws> W <ws> H <ws> maxval <exactly one ws byte> raster.
+        # The raster must not be tokenized (its first byte may itself be a
+        # whitespace value), and maxval scales: <256 means 1 byte/pixel,
+        # >=256 means 2 bytes/pixel big-endian (PGM spec) — both mapped onto
+        # the u8 range like the P2 branch.
+        import re
+
+        m = re.match(rb"P5\s+(\d+)\s+(\d+)\s+(\d+)\s", data)
+        if not m:
+            raise ValueError("malformed P5 PGM header")
+        W, H, maxval = (int(x) for x in m.groups())
+        raster = data[m.end():]
+        if maxval < 256:
+            vals = np.frombuffer(raster[: W * H], dtype=np.uint8).astype(np.int64)
+        else:
+            vals = np.frombuffer(raster[: 2 * W * H], dtype=">u2").astype(np.int64)
+        return (vals * 255 // max(maxval, 1)).astype(np.uint8).reshape(H, W)
     raise ValueError("not a P2/P5 PGM file")
