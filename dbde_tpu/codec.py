@@ -66,6 +66,11 @@ class EncodedBatch:
     # anyway) and re-encode via encode_general() on violation.  None =
     # unconditionally valid.
     depth_bound: int | None = None
+    # set only by encode(defer_verify=True) when the uniform depth-8 fast
+    # path ran: the payload is only valid if EVERY real tile depth equals
+    # this value (min(depths) == max(depths) == depth_exact); same caller
+    # contract as depth_bound.
+    depth_exact: int | None = None
 
     def payload_host(self, max_words: int | None = None) -> np.ndarray:
         """Payload as a flat (B, S) u32 host array (S ≥ ``max_words`` when
@@ -269,11 +274,66 @@ def _encode_fn_band(img32: jnp.ndarray, H: int, W: int, mplanes: int = 8,
     # decode device time at 8x2048² (the encode-side slice-copy it also
     # drops was pipeline-hidden — neutral).  Host serialization gets a flat
     # view via EncodedBatch.payload_host() (free numpy reshape).
-    return depths, mins, payload, n64, jnp.max(d3)
+    # The (max over all tiles, min over REAL tiles) depth pair drives the
+    # adaptive dispatch: max gates the reduced-plane variants, min == 8
+    # gates the uniform depth-8 fast path.
+    return depths, mins, payload, n64, (jnp.max(d3), jnp.min(depths))
+
+
+def uniform8_supported(H: int, W: int) -> bool:
+    """Static geometry gate for the uniform depth-8 fast path
+    (pallas_band.encode_payload_u8_kernel / decode_band_u8_kernel): the
+    closed-form stream permutation needs the whole layout static, which
+    requires (a) whole row folds (ragged folds add depth-0 pad tile ROWS
+    whose position breaks the per-block template), (b) no grid-block row
+    padding, and (c) 128-aligned per-block streams for BOTH kernels' block
+    heights (block starts must be payload-row aligned).  Both bench
+    geometries (2048² and the reference-default 2536×2048 at the k=2 fold)
+    qualify; unsupported geometries simply keep the general kernels."""
+    from .ops import pallas_band as pb
+
+    h, w = tile_grid(W, H)
+    Wp, k = band_fold(W, h)
+    if h % k:
+        return False
+    Wk = k * Wp
+    hf8 = 8 * (h // k)
+    if pb.pad_rows(hf8, Wk) != hf8:
+        return False
+    for cap in (pb.BLOCK_GROUPS_CAP, pb.BLOCK_GROUPS_CAP_DEC):
+        if (16 * pb.n_bands(Wk, hf8, cap) * k * w) % 128:
+            return False
+    return True
+
+
+def _encode_fn_band_u8(img32: jnp.ndarray, H: int, W: int,
+                       interpret: bool = False):
+    """Uniform depth-8 encode: phase A unchanged, payload via the
+    closed-form stream permutation (pallas_band module note).  The payload
+    is ONLY correct when every real tile depth is 8 — callers dispatch on
+    the previous batch's (maxd, mind) and verify mind == 8 afterwards
+    (DbdeCodec.encode), exactly like the reduced-plane variants.  Matches
+    the reference's own depth-8 special case (dbde_util.cpp:57-63)."""
+    from .ops import pallas_band as pb
+
+    B = img32.shape[0]
+    h, w = tile_grid(W, H)
+    Wp, k = band_fold(W, h)
+    wpp = Wp // 8
+    d3, m3 = pb.encode_depths_kernel(img32, interpret=interpret)
+    payload = pb.encode_payload_u8_kernel(img32, m3, wpp, w,
+                                          interpret=interpret)
+    tp = d3.shape[1] * pb.LANES
+    hpf = tp // (k * wpp)
+    depths = d3.reshape(B, hpf * k, wpp)[:, :h, :w].reshape(B, h * w)
+    mins = m3.reshape(B, hpf * k, wpp)[:, :h, :w].reshape(B, h * w)
+    n64 = jnp.sum(depths.astype(jnp.int32), axis=-1)
+    return depths, mins, payload, n64, (jnp.max(d3), jnp.min(depths))
 
 
 def _decode_fn_band(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray,
-                    H: int, W: int, interpret: bool = False):
+                    H: int, W: int, interpret: bool = False,
+                    uniform8: bool | None = None):
     """→ img32 (B, H, ceil(W/4)) u32 (caller reinterprets bytes, trims ≤3 cols).
 
     Pad rows and whole pad u32 columns are sliced off on device so the
@@ -303,13 +363,29 @@ def _decode_fn_band(depths: jnp.ndarray, mins: jnp.ndarray, payload: jnp.ndarray
     else:
         p = jnp.pad(payload, ((0, 0), (0, rows * pb.LANES - payload.shape[1])))
         p3 = p.reshape(B, rows, pb.LANES)
-    img32 = pb.decode_band_kernel(
-        d.reshape(B, tp // pb.LANES, pb.LANES),
-        m.reshape(B, tp // pb.LANES, pb.LANES),
-        p3,
-        Wk,
-        interpret=interpret,
-    )
+    d3 = d.reshape(B, tp // pb.LANES, pb.LANES)
+    m3 = m.reshape(B, tp // pb.LANES, pb.LANES)
+    if uniform8 is None:
+        # auto: on for compiled TPU kernels; off in interpreter mode so the
+        # CI suite does not pay a second interpreter compile per codec
+        # (dedicated tests exercise the fast kernels with uniform8=True)
+        uniform8 = not interpret
+    if uniform8 and uniform8_supported(H, W):
+        # uniform depth-8 fast path: when every real tile is depth 8 the
+        # stream layout is static — decode is a word permutation + byte-wise
+        # min add (pallas_band.decode_band_u8_kernel).  The gate is the
+        # real-depth min; cond operands are the compressed stream (switch
+        # overhead unmeasurable, ROUND3_NOTES decode-variant finding).
+        img32 = jax.lax.cond(
+            jnp.min(depths) == 8,
+            lambda d_, m_, p_: pb.decode_band_u8_kernel(
+                m_, p_, Wk, wpp, w, interpret=interpret),
+            lambda d_, m_, p_: pb.decode_band_kernel(
+                d_, m_, p_, Wk, interpret=interpret),
+            d3, m3, p3,
+        )
+    else:
+        img32 = pb.decode_band_kernel(d3, m3, p3, Wk, interpret=interpret)
     if k > 1:  # unfold: (B, Hf, Wk//4) → (B, Hf*k, Wp//4)
         Hf = img32.shape[1]
         img32 = (
@@ -400,9 +476,10 @@ class DbdeCodec:
                 except Exception:
                     adaptive = False
             self._adaptive = bool(adaptive)
-            self._encode_v: dict[int, object] = {}
-            self._mplanes = 8
-            self._last_maxd = None
+            self._encode_v: dict[object, object] = {}
+            self._mplanes: object = 8
+            self._last_stat = None  # previous batch's (maxd, mind) scalars
+            self._u8_ok = uniform8_supported(self.height, self.width)
             self._encode = self._encode_variant(8)
             self._decode = jax.jit(partial(_decode_fn_band, H=self.height, W=self.width))
             self._roundtrip = jax.jit(self._roundtrip_band)
@@ -418,12 +495,17 @@ class DbdeCodec:
     # use the reduced payload kernel (one extra compile, cached per codec)
     ADAPT_MPLANES = 5
 
-    def _encode_variant(self, mp: int):
+    def _encode_variant(self, mp):
+        """mp: a plane bound (int) or "u8" (the uniform depth-8 closed-form
+        payload kernel — valid only when every real tile depth is 8)."""
         fn = self._encode_v.get(mp)
         if fn is None:
-            fn = self._encode_v[mp] = jax.jit(
-                partial(_encode_fn_band, H=self.height, W=self.width, mplanes=mp)
-            )
+            if mp == "u8":
+                f = partial(_encode_fn_band_u8, H=self.height, W=self.width)
+            else:
+                f = partial(_encode_fn_band, H=self.height, W=self.width,
+                            mplanes=mp)
+            fn = self._encode_v[mp] = jax.jit(f)
         return fn
 
     def _check(self, images) -> jnp.ndarray:
@@ -465,33 +547,42 @@ class DbdeCodec:
                 images, _ = self._check(images)
             img32 = self._to_img32(images)
             # sticky adaptive dispatch: pick the variant from the PREVIOUS
-            # batch's max depth (a finished device scalar — reading it does
-            # not wait on new work), encode, then verify the depth bound
-            # whenever the reduced variant ran (this sync is the price of
-            # the reduced kernel; the general variant stays fully async).
-            # A misprediction re-encodes with the general kernel — rare for
-            # the fixed-camera use case the format targets.
-            if self._adaptive and self._last_maxd is not None:
-                want = (
-                    self.ADAPT_MPLANES
-                    if int(self._last_maxd) <= self.ADAPT_MPLANES
-                    else 8
-                )
+            # batch's (max, real-min) depths (finished device scalars —
+            # reading them does not wait on new work), encode, then verify
+            # the variant's validity condition whenever a specialized
+            # variant ran (this sync is the price of the specialization;
+            # the general variant stays fully async).  A misprediction
+            # re-encodes with the general kernel — content regimes are
+            # file-wide in practice (fixed cameras), so flips are rare.
+            if self._adaptive and self._last_stat is not None:
+                maxd_p, mind_p = (int(x) for x in self._last_stat)
+                if self._u8_ok and mind_p == 8:
+                    want = "u8"  # uniform depth-8 closed-form payload
+                elif maxd_p <= self.ADAPT_MPLANES:
+                    want = self.ADAPT_MPLANES
+                else:
+                    want = 8
                 if want != self._mplanes:
                     self._mplanes = want
                     self._encode = self._encode_variant(want)
-            depths, mins, payload, n64, maxd = self._encode(img32)
-            bound = self._mplanes if self._mplanes < 8 else None
-            if bound is not None and not defer_verify:
-                if int(maxd) > bound:
+            depths, mins, payload, n64, stat = self._encode(img32)
+            bound = exact = None
+            if self._mplanes == "u8":
+                exact = 8
+            elif self._mplanes < 8:
+                bound = self._mplanes
+            if (bound is not None or exact is not None) and not defer_verify:
+                maxd, mind = stat
+                bad = (int(mind) != 8) if exact is not None else (int(maxd) > bound)
+                if bad:
                     self._mplanes = 8
                     self._encode = self._encode_variant(8)
-                    depths, mins, payload, n64, maxd = self._encode(img32)
-                bound = None
+                    depths, mins, payload, n64, stat = self._encode(img32)
+                bound = exact = None
             if self._adaptive:
-                self._last_maxd = maxd
+                self._last_stat = stat
             return EncodedBatch(depths=depths, mins=mins, payload=payload,
-                                n64=n64, depth_bound=bound)
+                                n64=n64, depth_bound=bound, depth_exact=exact)
         images, _ = self._check(images)
         depths, mins, payload, n64 = self._encode(images)
         return EncodedBatch(depths=depths, mins=mins, payload=payload, n64=n64)
@@ -510,9 +601,9 @@ class DbdeCodec:
             images, _ = self._check(images)
         self._mplanes = 8
         self._encode = self._encode_variant(8)
-        depths, mins, payload, n64, maxd = self._encode(self._to_img32(images))
+        depths, mins, payload, n64, stat = self._encode(self._to_img32(images))
         if self._adaptive:
-            self._last_maxd = maxd
+            self._last_stat = stat
         return EncodedBatch(depths=depths, mins=mins, payload=payload, n64=n64)
 
     def decode_dispatch(self, depths, mins, payload):

@@ -168,6 +168,10 @@ def _decode_block_band(depths_local, mins_local, segment_local,
     return _decode_fn_band(
         depths_local, mins_local, segment_local, H=8 * h_loc, W=W,
         interpret=interpret,
+        # keep the sharded bodies on the general kernel: the uniform-8
+        # cond would double every shard's compile for a regime the sharded
+        # scaling story does not target (single-chip covers it)
+        uniform8=False,
     )
 
 

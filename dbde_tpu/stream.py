@@ -528,6 +528,12 @@ class DbdeWriter:
             # needed on the host below regardless, so the bound check is free
             if int(np.asarray(enc.depths).max()) > enc.depth_bound:
                 enc = self._codec.encode_general(frames)
+        elif enc.depth_exact is not None:
+            # uniform depth-8 fast-path verification: the payload is valid
+            # only if EVERY real tile depth equals depth_exact
+            d = np.asarray(enc.depths)
+            if int(d.min()) != enc.depth_exact or int(d.max()) != enc.depth_exact:
+                enc = self._codec.encode_general(frames)
         if self._fd is not None:
             # vectored write straight from the encoded host arrays: the
             # kernel's gather copy is the only host pass over the record

@@ -1,0 +1,167 @@
+"""Uniform depth-8 fast path: closed-form stream permutation kernels.
+
+When every real tile in a batch has depth 8 (the random/full-depth regime,
+the reference's own default bench content and its own special case —
+dbde_util.cpp:57-63, 229-244), the payload is byte-aligned and the band
+codec dispatches to permutation kernels (pallas_band encode_payload_u8 /
+decode_band_u8).  These tests pin byte parity against the numpy oracle and
+the dispatch/fallback contract.  Kernels run in interpreter mode (module
+fixture).
+
+Compile budget: interpreter-mode kernel compiles dominate this file, so
+every test shares ONE adaptive band codec per geometry (module cache) and
+the geometry set is two — the exact case and the maximally-irregular
+fold+column-pad case (pads-only and fold-only layouts are strict subsets
+of the latter's planner coverage; uniform8_supported pins all four).
+tools/probe_u8.py runs the same parity sweep on real TPUs at the bench
+geometries.
+"""
+
+import numpy as np
+import pytest
+import jax
+from jax.experimental import pallas as pl
+
+from dbde_tpu import ref_numpy as ref
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+
+def uni8(H, W, B=2, seed=0):
+    """Frames whose every 8x8 tile (including ragged edge tiles) realizes
+    depth 8: rows ≡0 (mod 8) carry zeros on cols ≡0 (mod 4), rows ≡1 carry
+    255 on cols ≡2 — every tile's range hits [0, 255]."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (B, H, W)).astype(np.uint8)
+    img[:, 0::8, 0::4] = 0
+    img[:, 1::8, 2::4] = 255
+    return img
+
+
+# exact (no pads) and fold + column pads (k=2, 1 pad tile per segment) —
+# row-pad-free under the CI BANDS_MULT=2 pin AND the production policy
+GEOMS = [(128, 1024), (256, 500)]
+
+_CODECS: dict = {}
+
+
+def get_codec(H, W):
+    """One adaptive band codec per geometry: all tests in this module share
+    its jitted variants (general / u8 / mplanes=5 payloads + the decode
+    cond), saving minutes of interpreter compile per test."""
+    if (H, W) not in _CODECS:
+        from dbde_tpu.codec import DbdeCodec
+
+        _CODECS[(H, W)] = DbdeCodec(height=H, width=W, backend="band",
+                                    adaptive=True)
+    return _CODECS[(H, W)]
+
+
+def test_uniform8_supported_table():
+    from dbde_tpu.codec import uniform8_supported
+
+    for H, W in GEOMS + [(128, 1000), (256, 512)]:
+        assert uniform8_supported(H, W), (H, W)
+    # ragged fold (h_tiles % k != 0) and block row padding are excluded
+    assert not uniform8_supported(40, 512)   # 5 tile rows, k=2 fold
+    assert not uniform8_supported(72, 1024)  # row pad 72 -> block rows
+
+
+@pytest.mark.parametrize("geom", GEOMS)
+def test_uniform8_band_parity(geom):
+    """Encode bytes == oracle and decode == frames through the codec's own
+    jitted paths: the sticky dispatch lands on the u8 payload kernel and
+    the decode cond takes the u8 branch (uniform content) and the general
+    branch (mixed content) — all four kernels exercised."""
+    from dbde_tpu.codec import pack_frames_bytes
+
+    H, W = geom
+    codec = get_codec(H, W)
+    assert codec._u8_ok
+    frames = uni8(H, W)
+    codec.encode(frames)  # observe (maxd, mind) = (8, 8)
+    enc = codec.encode(frames)
+    assert codec._mplanes == "u8"
+    recs = pack_frames_bytes(enc)
+    for b in range(len(frames)):
+        assert recs[b][20:] == ref.pack_image(frames[b]), (geom, b)
+    out = codec.decode(enc.depths, enc.mins, enc.payload)
+    np.testing.assert_array_equal(out, frames)
+    # mixed content through the SAME decode cond: general branch
+    mixed = frames.copy()
+    mixed[:, :8, :] = 7  # flat tile row: depth 0
+    enc2 = codec.encode(mixed)  # u8 mispredicts -> verified general re-encode
+    assert codec._mplanes == 8
+    assert pack_frames_bytes(enc2)[0][20:] == ref.pack_image(mixed[0])
+    out2 = codec.decode(enc2.depths, enc2.mins, enc2.payload)
+    np.testing.assert_array_equal(out2, mixed)
+
+
+def test_uniform8_adaptive_dispatch():
+    """Sticky dispatch details: u8 <-> reduced-plane <-> general flips and
+    the defer_verify contract (depth_exact) for pipelined writers."""
+    from dbde_tpu.codec import pack_frames_bytes
+
+    H, W = 128, 1024
+    deep = uni8(H, W, seed=3)
+    shallow = (np.random.default_rng(4).integers(0, 24, (2, H, W)) + 50
+               ).astype(np.uint8)
+    codec = get_codec(H, W)
+    codec._mplanes = 8
+    codec._encode = codec._encode_variant(8)
+    codec._last_stat = None
+
+    enc = codec.encode(deep)  # general first batch, records (8, 8)
+    assert codec._mplanes == 8
+    assert pack_frames_bytes(enc)[0][20:] == ref.pack_image(deep[0])
+
+    enc = codec.encode(deep)  # sticky switch to the u8 permutation
+    assert codec._mplanes == "u8"
+    assert pack_frames_bytes(enc)[0][20:] == ref.pack_image(deep[0])
+    assert enc.depth_exact is None  # inline verify passed
+
+    enc = codec.encode(shallow)  # misprediction: verify must re-encode
+    assert codec._mplanes == 8
+    assert pack_frames_bytes(enc)[0][20:] == ref.pack_image(shallow[0])
+
+    codec.encode(deep)  # prediction -> u8 again
+    enc = codec.encode(shallow, defer_verify=True)
+    assert enc.depth_exact == 8
+    assert int(np.asarray(enc.depths).min()) < 8  # caller must detect
+    enc = codec.encode_general(shallow)
+    assert enc.depth_exact is None and codec._mplanes == 8
+    assert pack_frames_bytes(enc)[0][20:] == ref.pack_image(shallow[0])
+
+
+def test_uniform8_writer_deferred_verify(tmp_path):
+    """DbdeWriter's deferred verify catches a u8 misprediction: a uniform-8
+    batch followed by a mixed batch must still produce a byte-exact file."""
+    from dbde_tpu.stream import DbdeReader, DbdeWriter
+
+    H, W = 128, 1024
+    deep = uni8(H, W, seed=5)
+    mixed = deep.copy()
+    mixed[:, :8, :] = 7
+    path = tmp_path / "u8.dbde"
+    with DbdeWriter(path, height=H, width=W) as w:
+        # the shared band codec (auto would pick xla on CPU); reset sticky
+        codec = get_codec(H, W)
+        codec._mplanes = 8
+        codec._encode = codec._encode_variant(8)
+        codec._last_stat = None
+        w._codec = codec
+        w.write(deep)
+        w.write(deep)   # sticky -> u8 variant
+        w.write(mixed)  # misprediction, caught in _drain_one
+    with DbdeReader(path, batch_size=2, device=False) as r:
+        got = np.concatenate([f for _, f in r], axis=0)
+    np.testing.assert_array_equal(got, np.concatenate([deep, deep, mixed]))
