@@ -31,19 +31,22 @@ def make_content(width: int, height: int, frames: int, kind: str = "camera") -> 
     (the format's design target: scientific imaging at fixed rate).
     ``random``: incompressible, all tiles depth 8 (the reference's worst case).
     ``flat``: all tiles depth 0 (payload-free best case).
+    ``lowlight``: dim illumination + read-noise-scale noise → depths 2-3
+    (the shallow regime the ADAPT_MPLANES tier probe measures).
     """
     rng = np.random.default_rng(0)
     if kind == "flat":
         return np.full((frames, height, width), 128, np.uint8)
     if kind == "random":
         return rng.integers(0, 256, size=(frames, height, width)).astype(np.uint8)
+    amp, sigma = (16.0, 0.8) if kind == "lowlight" else (64.0, 3.0)
     yy, xx = np.mgrid[0:height, 0:width]
     base = (
         96
-        + 64 * np.sin(2 * np.pi * xx / width)[None] * np.cos(2 * np.pi * yy / height)[None]
+        + amp * np.sin(2 * np.pi * xx / width)[None] * np.cos(2 * np.pi * yy / height)[None]
         + 8 * np.sin(2 * np.pi * np.arange(frames) / max(frames, 1))[:, None, None]
     )
-    noise = rng.normal(0, 3.0, size=(frames, height, width))
+    noise = rng.normal(0, sigma, size=(frames, height, width))
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 

@@ -492,7 +492,15 @@ class DbdeCodec:
             self._roundtrip = jax.jit(self._roundtrip_fn)
 
     # reduced-plane variant tier: batches with max depth <= ADAPT_MPLANES
-    # use the reduced payload kernel (one extra compile, cached per codec)
+    # use the reduced payload kernel (one extra compile, cached per codec).
+    # 5 is the measured knee, not a guess: probed mplanes ∈ {3,4,5,6,8} on
+    # maxd=3/4/5 content (tools/probe_mplanes.py, v5e 8×2048², ROUND4_NOTES
+    # table) — the payload kernel is 0.887/0.867/0.842/0.866/0.866 ms at
+    # mp=8/6/5/4/3, i.e. BELOW 5 the kernel gets *slower* (the shrinking
+    # candidate scan stops paying once the content-independent compaction
+    # floor dominates, and the 2·mplanes-row staged scratch tiles worse at
+    # 6/8 rows than at 10), so extra shallow tiers would cost a compile and
+    # a sticky-dispatch state for negative return.
     ADAPT_MPLANES = 5
 
     def _encode_variant(self, mp):
