@@ -5,7 +5,8 @@ Prints ONE JSON line:
   {"metric": "decode_gpix_per_s", "value": N, "unit": "Gpix/s", "vs_baseline": N, ...}
 
 vs_baseline is relative to the reference C library's single-core decode
-(~2.6 Gpix/s measured in this environment; see BASELINE.md).
+(~2.9 Gpix/s measured in this environment, library -O3 / driver -O0 —
+build provenance and clock convention in BASELINE.md).
 """
 
 import json

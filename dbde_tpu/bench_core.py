@@ -2,9 +2,12 @@
 re-done as measured device time in Gpix/s on the accelerator).
 
 Reference harness: one 2536×2048 random frame, rdtsc cycles → fps at an
-assumed 3.33 GHz (dbde_util_test.cpp:303-364).  Measured there: encode
-≈2.5 Gpix/s, decode ≈2.6 Gpix/s single-core (BASELINE.md).  North star here:
->10 Gpix/s decode per TPU chip on a 2048×2048 u8 stream (BASELINE.json).
+assumed 3.33 GHz (dbde_util_test.cpp:303-364).  Measured there (library -O3,
+driver -O0 — the only build that passes the reference's own golden checks;
+full provenance in BASELINE.md / ROUND4_NOTES.md): encode ≈2.8 Gpix/s,
+decode ≈2.9 Gpix/s single-core under the harness's 3.33 GHz convention.
+North star here: >10 Gpix/s decode per TPU chip on a 2048×2048 u8 stream
+(BASELINE.json).
 
 Timing methodology: wall-clock timing on this platform is treacherous
 (async dispatch, duplicate-execution elision, RPC jitter), so throughput is
@@ -19,9 +22,12 @@ import time
 
 import numpy as np
 
-# Reference single-core throughput measured in this environment (BASELINE.md)
-REFERENCE_DECODE_GPIX_S = 2.6
-REFERENCE_ENCODE_GPIX_S = 2.5
+# Reference single-core throughput measured in this environment — round-4
+# re-measurement with build provenance (BASELINE.md "Reference baseline
+# provenance"); the higher of the two clock conventions, so ratios are
+# conservative
+REFERENCE_DECODE_GPIX_S = 2.9
+REFERENCE_ENCODE_GPIX_S = 2.8
 
 
 def make_content(width: int, height: int, frames: int, kind: str = "camera") -> np.ndarray:
