@@ -30,7 +30,8 @@ REFERENCE_DECODE_GPIX_S = 2.9
 REFERENCE_ENCODE_GPIX_S = 2.8
 
 
-def make_content(width: int, height: int, frames: int, kind: str = "camera") -> np.ndarray:
+def make_content(width: int, height: int, frames: int, kind: str = "camera",
+                 sigma: float | None = None) -> np.ndarray:
     """Synthesize benchmark frames.
 
     ``camera``: smooth illumination + shot-like noise → mixed tile depths
@@ -39,13 +40,20 @@ def make_content(width: int, height: int, frames: int, kind: str = "camera") -> 
     ``flat``: all tiles depth 0 (payload-free best case).
     ``lowlight``: dim illumination + read-noise-scale noise → depths 2-3
     (the shallow regime the ADAPT_MPLANES tier probe measures).
+
+    ``sigma`` overrides the noise scale of the camera/lowlight families
+    (e.g. the ROUND4 mplanes probe's maxd=3 row is ``lowlight`` at
+    sigma=0.35); ignored for flat/random.
     """
+    if kind not in ("camera", "random", "flat", "lowlight"):
+        raise ValueError(f"unknown content kind {kind!r}")
     rng = np.random.default_rng(0)
     if kind == "flat":
         return np.full((frames, height, width), 128, np.uint8)
     if kind == "random":
         return rng.integers(0, 256, size=(frames, height, width)).astype(np.uint8)
-    amp, sigma = (16.0, 0.8) if kind == "lowlight" else (64.0, 3.0)
+    amp, def_sigma = (16.0, 0.8) if kind == "lowlight" else (64.0, 3.0)
+    sigma = def_sigma if sigma is None else float(sigma)
     yy, xx = np.mgrid[0:height, 0:width]
     base = (
         96
