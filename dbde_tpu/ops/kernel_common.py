@@ -262,6 +262,118 @@ def _compact_chunk_interleaved(words_ref, c0: int, n: int, ploff_all,
     return segs
 
 
+def _compact_chunk_rowcentric(words_ref, c0: int, n: int, ploff_all,
+                              totals=None, mplanes: int = 8):
+    """Row-centric pair-space compaction of ``n`` consecutive groups
+    [c0, c0+n) → list of n (16, 128) u32 word segments.
+
+    The branchless grid split by depth class (the route
+    ``pallas_band.ENCODE_COMPACT_CLASSES`` names): instead of shaping work
+    (pair_rows, 128) per group — which pays the full-depth worst case PR=8
+    regardless of content, and whose reduced non-pow2 variants lower worse
+    than they save — every op here is (n, 128)-shaped with SUBLANES =
+    GROUPS, and the slot loop runs over pair-row LEVELS.  A group's stream
+    has at most ``mplanes`` pair rows (each of its 128 tiles emits ≤ mplanes
+    pairs), so per-group work scales with the batch's depth bound:
+    at mplanes=5 (camera content) the search/candidate/interleave stages
+    process 5 levels instead of 8 pair rows, with every op a full vreg.
+
+    Two structural savings over the group-major formulations:
+      * sources are natural contiguous sublane slices
+        (``ploff_all[c0:c0+n]``, ``words_ref[2m][c0:c0+n]``) — the
+        per-group row broadcasts/repeats disappear;
+      * the n groups' searches at one level run in ONE (n, 128) op, so the
+        7-step dependent chain's latency amortizes n-fold without the
+        step-major bookkeeping of :func:`_compact_chunk_interleaved`.
+
+    ``totals`` (per-group SMEM word counts) gates the past-stream mask —
+    same contract as :func:`_compact_group_pairs` (past-total slots clamp
+    to the group's last tile and MUST be masked).  Segment rows ≥
+    2·mplanes are zero-padded so callers splice (16, 128) segments
+    unchanged.
+    """
+    ploff8 = ploff_all[c0 : c0 + n, :]  # (n, 128): row g = group c0+g
+    lanes = _lanes((n, LANES))
+    word_rows = []  # 2*mplanes arrays (n, 128): row g = group g's word row j
+    for i in range(mplanes):
+        q = lanes + 128 * i  # pair slots 128i..128i+127, all groups at once
+        lo = jnp.zeros((n, LANES), jnp.int32)
+        step = LANES // 2
+        while step >= 1:
+            cand = jnp.minimum(lo + step, LANES - 1)
+            v = jnp.take_along_axis(ploff8, cand, axis=-1)
+            lo = jnp.where(v <= q, cand, lo)
+            step //= 2
+        wm = jnp.minimum(q - jnp.take_along_axis(ploff8, lo, axis=-1), 7)
+        lo_v = jnp.zeros((n, LANES), jnp.uint32)
+        hi_v = jnp.zeros((n, LANES), jnp.uint32)
+        for m in range(mplanes):
+            sel = wm == m
+            lo_v = jnp.where(
+                sel,
+                jnp.take_along_axis(words_ref[2 * m][c0 : c0 + n, :], lo, axis=-1),
+                lo_v,
+            )
+            hi_v = jnp.where(
+                sel,
+                jnp.take_along_axis(words_ref[2 * m + 1][c0 : c0 + n, :], lo, axis=-1),
+                hi_v,
+            )
+        # word rows 2i (lanes 0-63 of the pair level) and 2i+1 (lanes 64-127):
+        # word q = 2p + (u&1) at lane u ← pair lane 64h + (u>>1)
+        for h in (0, 1):
+            idx = 64 * h + (lanes >> 1)
+            word_rows.append(
+                jnp.where(
+                    (lanes & 1) == 1,
+                    jnp.take_along_axis(hi_v, idx, axis=-1),
+                    jnp.take_along_axis(lo_v, idx, axis=-1),
+                )
+            )
+    segs = []
+    if ROWCENTRIC_ASSEMBLY == "stack":
+        stacked = jnp.stack(word_rows, axis=0)  # (2*mplanes, n, 128)
+        for g in range(n):
+            seg = stacked[:, g, :]
+            if mplanes < 8:
+                seg = jnp.concatenate(
+                    [seg, jnp.zeros((16 - 2 * mplanes, LANES), jnp.uint32)], axis=0
+                )
+            if totals is not None:
+                seg = _mask_past_total(seg, totals[g])
+            segs.append(seg)
+        return segs
+    if ROWCENTRIC_ASSEMBLY == "wide":
+        wide = jnp.concatenate(word_rows, axis=1)  # (n, 2*mplanes*128)
+        for g in range(n):
+            seg = wide[g : g + 1, :].reshape(2 * mplanes, LANES)
+            if mplanes < 8:
+                seg = jnp.concatenate(
+                    [seg, jnp.zeros((16 - 2 * mplanes, LANES), jnp.uint32)], axis=0
+                )
+            if totals is not None:
+                seg = _mask_past_total(seg, totals[g])
+            segs.append(seg)
+        return segs
+    for g in range(n):
+        parts = [word_rows[j][g : g + 1, :] for j in range(2 * mplanes)]
+        if mplanes < 8:
+            parts.append(jnp.zeros((16 - 2 * mplanes, LANES), jnp.uint32))
+        seg = jnp.concatenate(parts, axis=0)
+        if totals is not None:
+            seg = _mask_past_total(seg, totals[g])
+        segs.append(seg)
+    return segs
+
+
+ROWCENTRIC_ASSEMBLY = "concat"  # how _compact_chunk_rowcentric turns its
+# (n, 128) word-row arrays into per-group (16, 128) segments for the splice:
+# "concat" = 16 thin (1,128) slices concatenated per group; "stack" = one
+# (16, n, 128) stack then a middle-axis slice per group; "wide" = one
+# (n, 16*128) lane-concat then a (1, 2048)->(16, 128) relayout per group.
+# A/B via tools/probe_rowcentric.py.
+
+
 INTERLEAVE_WIDTH = 4  # groups whose binary searches run step-major together.
 # Width 8 with everything interleaved spills vregs (33.1 -> 28.7 Gpix/s
 # whole-encode); search-only widths 6/8 re-probed at mplanes=5 (half the

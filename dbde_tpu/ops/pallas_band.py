@@ -59,6 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .kernel_common import (
     _compact_chunk_interleaved,
     _compact_chunk_pairs,
+    _compact_chunk_rowcentric,
     _compact_group_pairs,
     _exclusive_lane_cumsum,
     _lanes,
@@ -515,14 +516,22 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, mplanes, ablate_stage,
             [seg, jnp.zeros((16 - 2 * PR, LANES), jnp.uint32)], axis=0
         )
 
-    batched = ENCODE_BATCHED_COMPACTION and not ENCODE_COMPACT_CLASSES
+    rowcentric = (ENCODE_ROWCENTRIC_COMPACTION is True
+                  or (ENCODE_ROWCENTRIC_COMPACTION == "auto" and mplanes < 8))
+    batched = (ENCODE_BATCHED_COMPACTION and not ENCODE_COMPACT_CLASSES
+               and not rowcentric)
     interleaved = (ENCODE_INTERLEAVED_COMPACTION and not batched
-                   and not ENCODE_COMPACT_CLASSES)
+                   and not ENCODE_COMPACT_CLASSES and not rowcentric)
 
     def chunk_segs(c0, ncg):
         """The chunk's ncg (16, 128) word segments, by the configured
-        compaction strategy (production: step-major interleaved searches)."""
+        compaction strategy (production: row-centric for reduced-plane
+        variants, step-major interleaved searches otherwise)."""
         totals = [g_total(s) for s in range(c0, c0 + ncg)]
+        if rowcentric:
+            return _compact_chunk_rowcentric(
+                words_ref, c0, ncg, ploff_all, totals=totals, mplanes=mplanes
+            )
         if interleaved:
             segs = _compact_chunk_interleaved(
                 words_ref, c0, ncg, ploff_all, pair_rows=PR, totals=totals,
@@ -580,9 +589,21 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, mplanes, ablate_stage,
         )
 
     carry = carry_ref[...]
+    prefetch = ENCODE_CHUNK_PREFETCH and rowcentric
+    segs = chunk_segs(0, min(GROUPS_PER_STAGE, groups)) if prefetch else None
     for ci, c0 in enumerate(range(0, groups, GROUPS_PER_STAGE)):
         ncg = min(c0 + GROUPS_PER_STAGE, groups) - c0
-        segs = chunk_segs(c0, ncg)
+        if prefetch:
+            # emit the NEXT chunk's (batched, carry-independent) compaction
+            # before this chunk's serial splice chain, so the splice hides
+            # in its shadow (the batched strategies otherwise serialize:
+            # all segs ready at once, then 8 dependent splices with nothing
+            # to overlap — measured +0.10 ms vs their compaction-only cost)
+            nc0 = c0 + GROUPS_PER_STAGE
+            segs_next = (chunk_segs(nc0, min(nc0 + GROUPS_PER_STAGE, groups) - nc0)
+                         if nc0 < groups else None)
+        else:
+            segs = chunk_segs(c0, ncg)
         row_base = meta_ref[mbase + 1 + c0] >> 7
         stage = jnp.zeros((STAGE_ROWS, LANES), jnp.uint32)
         for s in range(c0, c0 + ncg):
@@ -642,6 +663,8 @@ def _payload_kernel(groups_row, bands, nent, pair_rows, mplanes, ablate_stage,
                 @pl.when(last & (p == 1))
                 def _(row_base=row_base):
                     _dma(1, row_base).wait()
+        if prefetch:
+            segs = segs_next
     carry_ref[...] = carry
 
 
@@ -716,6 +739,27 @@ ENCODE_INTERLEAVED_COMPACTION = True  # run the chunk's binary searches
 # Conclusion: pair-space compaction sits at its practical VPU floor; the
 # encode/decode gap is the format's inverse-map (stream-slot → tile)
 # having no closed form, unlike decode's forward map.
+
+ENCODE_ROWCENTRIC_COMPACTION = False  # compact with SUBLANES = GROUPS and a
+# pair-row LEVEL loop (kernel_common._compact_chunk_rowcentric): per-group
+# work scales with mplanes instead of the worst-case PR=8, sources are
+# natural contiguous slices (no row broadcasts/repeats), and the 8 groups'
+# binary searches share each (8,128) op.  MEASURED NET-NEUTRAL-TO-LOSS on
+# v5e despite ~43% fewer gather elements at mplanes=5 (camera 8x2048²,
+# tools/probe_rowcentric.py): payload kernel 0.861 ms vs interleaved 0.842,
+# whole encode 34.9 vs 35.6 Gpix/s — the compaction stage itself IS faster
+# (ablate_stage=2: 0.759 vs 0.885 ms) but the batched formulation denies
+# Mosaic the per-group compaction/splice overlap the interleaved strategy
+# gets for free, and the splice re-serializes (+0.10 ms).  "auto" = enable
+# for reduced-plane variants; True/False force/disable for A/B.
+
+ENCODE_CHUNK_PREFETCH = False  # with a batched compaction strategy
+# (rowcentric), compute chunk c+1's segments BEFORE chunk c's splice in
+# program order, so the serial 16-row splice chain schedules into the next
+# compaction's shadow.  Irrelevant for the per-group strategies (their
+# compaction/splice work already interleaves group-by-group).  UNVALIDATED:
+# the doubled live-segment state is a vreg-spill risk; keep False until
+# probed (tools/probe_rowcentric.py).
 
 ENCODE_BATCHED_COMPACTION = False  # batch the chunk's 8 per-group pair
 # compactions into (64,128)-shaped ops.  MEASURED A LOSS on v5e — leave

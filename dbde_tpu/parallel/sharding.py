@@ -160,18 +160,20 @@ def _encode_block_band(img32_local, h_loc: int, W: int, interpret: bool):
 
 
 def _decode_block_band(depths_local, mins_local, segment_local,
-                       h_loc: int, W: int, interpret: bool):
+                       h_loc: int, W: int, interpret: bool,
+                       uniform8: bool = False):
     """Band-kernel decode of one shard's segment → (B, 8*h_loc, ceil(W/4))
-    u32 (the single-chip band adapter at H = the shard's rows)."""
+    u32 (the single-chip band adapter at H = the shard's rows).
+
+    ``uniform8`` stays False by default: the uniform-8 cond doubles every
+    shard's compile for a regime the sharded scaling story does not target
+    (single-chip covers it).  Mesh workloads that ARE uniform-depth-8 (full
+    random/noise content) can opt in via :func:`decode_sharded`."""
     from ..codec import _decode_fn_band
 
     return _decode_fn_band(
         depths_local, mins_local, segment_local, H=8 * h_loc, W=W,
-        interpret=interpret,
-        # keep the sharded bodies on the general kernel: the uniform-8
-        # cond would double every shard's compile for a regime the sharded
-        # scaling story does not target (single-chip covers it)
-        uniform8=False,
+        interpret=interpret, uniform8=uniform8,
     )
 
 
@@ -197,9 +199,11 @@ def _encode_band_jit(mesh: Mesh, h_loc: int, W: int, interpret: bool):
 
 
 @lru_cache(maxsize=None)
-def _decode_band_jit(mesh: Mesh, h_loc: int, W: int, interpret: bool):
+def _decode_band_jit(mesh: Mesh, h_loc: int, W: int, interpret: bool,
+                     uniform8: bool = False):
     fn = jax.shard_map(
-        partial(_decode_block_band, h_loc=h_loc, W=W, interpret=interpret),
+        partial(_decode_block_band, h_loc=h_loc, W=W, interpret=interpret,
+                uniform8=uniform8),
         mesh=mesh,
         in_specs=(P("data", "tiles"), P("data", "tiles"), P("data", "tiles")),
         out_specs=P("data", "tiles", None),
@@ -304,19 +308,42 @@ def encode_sharded(images, mesh: Mesh, backend: str = "auto"):
     return depth, mn, payload, totals, bases, Hp
 
 
-def decode_sharded(depths, mins, segments, mesh: Mesh, H: int, W: int, Hp: int,
-                   backend: str = "auto") -> np.ndarray:
-    """Inverse of :func:`encode_sharded`; → (B, H, W) u8 numpy."""
+def decode_sharded_dispatch(depths, mins, segments, mesh: Mesh, H: int, W: int,
+                            Hp: int, backend: str = "auto",
+                            uniform8: bool = False):
+    """Dispatch a sharded decode asynchronously → an opaque pending value.
+
+    Returns immediately after the (async) jit dispatch; pass the result to
+    :func:`decode_sharded_materialize` to block and get the (B, H, W) u8
+    numpy frames.  The split lets a walker overlap the next batch's host
+    parse/split with the device decode (see :func:`iter_video_sharded`).
+    """
     n_tiles = mesh.shape["tiles"]
     backend = _resolve_backend(backend, W)
     if backend == "band":
         h, w, h_loc, L_real, L = _band_geometry(W, H, n_tiles)
-        out32 = _decode_band_jit(mesh, h_loc, W, _mesh_interpret(mesh))(
-            depths, mins, segments)
-        return np.asarray(out32).view(np.uint8)[:, :H, :W]
+        out32 = _decode_band_jit(mesh, h_loc, W, _mesh_interpret(mesh),
+                                 uniform8)(depths, mins, segments)
+        return ("band", out32)
     H_local = Hp // n_tiles
     out = _decode_xla_jit(mesh, H_local, W)(depths, mins, segments)
+    return ("xla", out)
+
+
+def decode_sharded_materialize(pending, H: int, W: int) -> np.ndarray:
+    """Block on a :func:`decode_sharded_dispatch` value → (B, H, W) u8."""
+    kind, out = pending
+    if kind == "band":
+        return np.asarray(out).view(np.uint8)[:, :H, :W]
     return np.asarray(out[:, :H, :W])
+
+
+def decode_sharded(depths, mins, segments, mesh: Mesh, H: int, W: int, Hp: int,
+                   backend: str = "auto", uniform8: bool = False) -> np.ndarray:
+    """Inverse of :func:`encode_sharded`; → (B, H, W) u8 numpy."""
+    return decode_sharded_materialize(
+        decode_sharded_dispatch(depths, mins, segments, mesh, H, W, Hp,
+                                backend, uniform8), H, W)
 
 
 def sharded_roundtrip_step(images, mesh: Mesh, backend: str = "auto"):
@@ -378,15 +405,37 @@ def assemble_payload_host(segments, totals) -> list[np.ndarray]:
 
     segments: (B, n_tiles*16*T_local) u32; totals: (n_tiles, B) i32.
     """
+    pay, n64 = assemble_payload_padded(segments, totals)
+    return [pay[b, : 2 * int(n64[b])].copy() for b in range(pay.shape[0])]
+
+
+def assemble_payload_padded(segments, totals):
+    """Sharded segments → one padded (B, mx) u32 payload matrix + n64 (B,).
+
+    The writer-side host leg: each frame's flat stream is its shards'
+    live-prefix slices back to back, written straight into an UNINITIALIZED
+    row-padded matrix — consumers (:func:`dbde_tpu.codec.record_iovecs`)
+    only ever read ``2*n64`` words per row, so neither the inter-frame
+    padding nor a zero fill is needed.  One contiguous memcpy per (frame,
+    shard); no intermediate per-frame list, no second copy, no worst-case
+    memset (the round-4 writer paid all three).
+    """
     totals = np.asarray(totals)
     n_tiles = totals.shape[0]
     segments = np.asarray(segments)
     B = segments.shape[0]
     segments = segments.reshape(B, n_tiles, -1)
-    return [
-        np.concatenate([segments[b, s, : totals[s, b]] for s in range(n_tiles)])
-        for b in range(B)
-    ]
+    counts = totals.T.astype(np.int64)  # (B, n_tiles)
+    bases = np.cumsum(counts, axis=1) - counts
+    words = counts.sum(1)
+    mx = int(words.max()) if B else 0
+    pay = np.empty((B, mx), np.uint32)
+    for b in range(B):
+        row = pay[b]
+        for s in range(n_tiles):
+            c = counts[b, s]
+            row[bases[b, s] : bases[b, s] + c] = segments[b, s, :c]
+    return pay, words // 2
 
 
 def segment_slot_words(W: int, H: int, n_tiles: int, backend: str = "auto") -> int:
@@ -420,8 +469,14 @@ def split_payload_host(payload, depths, H: int, W: int, n_tiles: int,
     has single-threaded (dbde_util.cpp:362-426), at mesh scale.
 
     payload: (B, S) u32 flat streams (any S ≥ each frame's 2*n64);
-    depths: (B, T) u8.  Returns (B, n_tiles*S_local) u32 zero-padded
-    segments ready for :func:`decode_sharded`.
+    depths: (B, T) u8.  Returns (B, n_tiles*S_local) u32 segments ready for
+    :func:`decode_sharded`.  Slot words past each shard's live count are
+    UNINITIALIZED: the decode window gathers mask dead lanes by depth, so
+    output never depends on them (pinned by
+    tests/test_parallel.py::test_decode_tolerates_garbage_segment_tails) —
+    skipping the worst-case zero fill saves more host time per batch than
+    the copies themselves cost (the slots are sized for 16 words/tile; live
+    camera content fills ~a third of that).
     """
     depths = np.asarray(depths)
     payload = np.asarray(payload)
@@ -436,11 +491,12 @@ def split_payload_host(payload, depths, H: int, W: int, n_tiles: int,
     counts = 2 * depths.reshape(B, n_tiles, h_loc * w).astype(np.int64).sum(-1)
     bases = np.cumsum(counts, axis=1) - counts
     S_local = segment_slot_words(W, H, n_tiles, backend)
-    out = np.zeros((B, n_tiles, S_local), np.uint32)
+    out = np.empty((B, n_tiles, S_local), np.uint32)
     for b in range(B):
+        src = payload[b]
         for s in range(n_tiles):
             c = counts[b, s]
-            out[b, s, :c] = payload[b, bases[b, s] : bases[b, s] + c]
+            out[b, s, :c] = src[bases[b, s] : bases[b, s] + c]
     return out.reshape(B, n_tiles * S_local)
 
 
@@ -481,39 +537,49 @@ def write_video_sharded(path, frames, mesh: Mesh, frame_hz: float = 1.0,
                 batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)])
             depth, mn, payload, totals, bases, Hp = encode_sharded(
                 batch, mesh, backend=backend)
-            payloads = assemble_payload_host(payload, totals)[:n]
-            n64 = np.asarray(totals).astype(np.int64).sum(0)[:n] // 2
-            mx = 2 * int(n64.max()) if n else 0
-            pay = np.zeros((n, mx), np.uint32)
-            for b in range(n):
-                pay[b, : payloads[b].size] = payloads[b]
+            pay, n64 = assemble_payload_padded(payload, totals)
             iov = record_iovecs(np.asarray(depth)[:n], np.asarray(mn)[:n],
-                                pay, n64, indices=range(i, i + n))
+                                pay[:n], n64[:n], indices=range(i, i + n))
             _writev_all(f.fileno(), iov)
 
 
-def read_video_sharded(path, mesh: Mesh, backend: str = "auto",
-                       batch_size: int = 16, hz_as_integer: bool = False):
-    """Decode a whole ``.dbde`` file on a device mesh →
-    (VideoHeader, [FrameHeader], (N, H, W) u8).
+def iter_video_sharded(path, mesh: Mesh, backend: str = "auto",
+                       batch_size: int = 16, hz_as_integer: bool = False,
+                       pipeline: int = 2, uniform8: bool = False):
+    """Bounded-memory sharded file walker: yield (headers, (n, H, W) u8)
+    batches of a ``.dbde`` file decoded across a device mesh.
 
-    The host walker (:meth:`DbdeReader.iter_raw`) scans and parses records;
-    each batch's flat payloads split into per-shard segments
-    (:func:`split_payload_host`) and decode across the mesh
-    (:func:`decode_sharded`).  Tail batches pad the data axis with zero
-    records (depth 0 everywhere — a frame of zeros) and slice them off
-    after decode.
+    The mesh-scale analogue of the reference walker's fixed-buffer loop
+    (dbde_util.cpp:372-426) and of the single-chip
+    :meth:`DbdeReader._iter_device` pipeline: the host walker scans and
+    parses records (mmap, no decode), each batch's flat payloads split into
+    per-shard segments (:func:`split_payload_host`, host leg), and the mesh
+    decode dispatches ASYNCHRONOUSLY — up to ``pipeline`` batches are in
+    flight, so the next batch's parse+split overlaps the current decode.
+    Memory is O(pipeline · batch) — parsed records, segments, and decoded
+    frames for in-flight batches only, never the whole video.
+
+    Tail batches pad the data axis with zero records (depth 0 everywhere —
+    a frame of zeros) and slice them off after decode.
     """
+    import collections
+
     from ..stream import DbdeReader
 
     n_data = mesh.shape["data"]
     n_tiles = mesh.shape["tiles"]
-    headers_all, chunks = [], []
     with DbdeReader(path, batch_size=max(batch_size, n_data), device=False,
                     hz_as_integer=hz_as_integer) as rd:
         H, W = rd.height, rd.width
         Hp = 8 * tile_grid(W, H)[0]
-        for headers, (depths, mins, payload, n64) in rd.iter_raw():
+        raw = rd.iter_raw()
+        pending = collections.deque()
+
+        def dispatch():
+            item = next(raw, None)
+            if item is None:
+                return False
+            headers, (depths, mins, payload, n64) = item
             n = len(headers)
             if n % n_data:
                 pad = n_data - n % n_data
@@ -523,10 +589,38 @@ def read_video_sharded(path, mesh: Mesh, backend: str = "auto",
                 payload = np.concatenate(
                     [payload, np.zeros((pad, payload.shape[1]), np.uint32)])
             segments = split_payload_host(payload, depths, H, W, n_tiles, backend)
-            out = decode_sharded(depths, mins, segments, mesh, H=H, W=W,
-                                 Hp=Hp, backend=backend)
-            headers_all.extend(headers)
-            chunks.append(np.asarray(out)[:n])
-        frames = (np.concatenate(chunks) if chunks
-                  else np.empty((0, rd.height, rd.width), np.uint8))
-        return rd.header, headers_all, frames
+            out = decode_sharded_dispatch(depths, mins, segments, mesh, H=H,
+                                          W=W, Hp=Hp, backend=backend,
+                                          uniform8=uniform8)
+            pending.append((headers, out, n))
+            return True
+
+        while len(pending) < pipeline and dispatch():
+            pass
+        while pending:
+            dispatch()  # overlap: parse + split + dispatch while device busy
+            headers, out, n = pending.popleft()
+            yield headers, decode_sharded_materialize(out, H, W)[:n]
+
+
+def read_video_sharded(path, mesh: Mesh, backend: str = "auto",
+                       batch_size: int = 16, hz_as_integer: bool = False):
+    """Decode a whole ``.dbde`` file on a device mesh →
+    (VideoHeader, [FrameHeader], (N, H, W) u8).
+
+    Whole-video convenience wrapper over :func:`iter_video_sharded` — use
+    the iterator directly for unbounded streams.
+    """
+    from ..stream import DbdeReader
+
+    headers_all, chunks = [], []
+    for headers, frames in iter_video_sharded(
+            path, mesh, backend=backend, batch_size=batch_size,
+            hz_as_integer=hz_as_integer):
+        headers_all.extend(headers)
+        chunks.append(frames)
+    with DbdeReader(path, hz_as_integer=hz_as_integer) as rd:
+        header, H, W = rd.header, rd.height, rd.width
+    frames = (np.concatenate(chunks) if chunks
+              else np.empty((0, H, W), np.uint8))
+    return header, headers_all, frames

@@ -8,13 +8,17 @@ from dbde_tpu import ref_numpy as ref
 from dbde_tpu.parallel import (
     decode_sharded,
     encode_sharded,
+    iter_video_sharded,
     make_mesh,
     read_video_sharded,
     sharded_roundtrip_step,
     split_payload_host,
     write_video_sharded,
 )
-from dbde_tpu.parallel.sharding import assemble_payload_host
+from dbde_tpu.parallel.sharding import (
+    assemble_payload_host,
+    assemble_payload_padded,
+)
 
 
 def _frames(B=4, H=48, W=40, seed=0):
@@ -184,6 +188,70 @@ def test_split_payload_inverse_of_assemble():
     out = decode_sharded(np.asarray(depth), np.asarray(mn), segs, mesh,
                          H=32, W=30, Hp=Hp, backend="xla")
     np.testing.assert_array_equal(out, frames)
+
+
+@pytest.mark.parametrize("backend", ["xla", "band"])
+def test_decode_tolerates_garbage_segment_tails(backend):
+    """Segment slot words past each shard's live count must never reach the
+    output: the decode window gathers mask dead lanes by depth.  This is
+    the invariant that lets split_payload_host skip the worst-case zero
+    fill (np.empty slots)."""
+    mesh = make_mesh(n_data=2, n_tiles=2)
+    if backend == "band":
+        rng = np.random.default_rng(11)
+        H, W = 16, 1024
+        frames = (rng.integers(0, 256, (2, H, W))
+                  & rng.integers(0, 256, (2, H, W))).astype(np.uint8)
+    else:
+        H, W = 32, 30
+        frames = _frames(B=4, H=H, W=W, seed=13)
+    B = frames.shape[0]
+    depth, mn, payload, totals, bases, Hp = encode_sharded(
+        frames, mesh, backend=backend)
+    t = np.asarray(totals)
+    segs = np.asarray(payload).reshape(B, 2, -1).copy()
+    for b in range(B):
+        for s in range(2):
+            segs[b, s, t[s, b]:] = 0xDEADBEEF % (1 << 32)
+    out = decode_sharded(np.asarray(depth), np.asarray(mn),
+                         segs.reshape(B, -1), mesh, H=H, W=W, Hp=Hp,
+                         backend=backend)
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_assemble_payload_padded_matches_ragged():
+    """The writer-side padded assembly equals the ragged per-frame concat on
+    every live prefix (rows are np.empty-padded past 2*n64)."""
+    mesh = make_mesh(n_data=2, n_tiles=2)
+    frames = _frames(B=4, H=32, W=30, seed=5)
+    depth, mn, payload, totals, bases, Hp = encode_sharded(frames, mesh, backend="xla")
+    pay, n64 = assemble_payload_padded(payload, totals)
+    t = np.asarray(totals)
+    segments = np.asarray(payload).reshape(4, 2, -1)
+    for b in range(4):
+        expected = np.concatenate([segments[b, s, : t[s, b]] for s in range(2)])
+        assert 2 * int(n64[b]) == expected.size
+        np.testing.assert_array_equal(pay[b, : expected.size], expected)
+
+
+def test_iter_video_sharded_bounded_walker(tmp_path):
+    """The sharded walker yields batch-sized chunks (bounded memory, never
+    the whole video), agrees with read_video_sharded frame-for-frame, and
+    handles a tail batch that doesn't fill the data axis."""
+    mesh = make_mesh(n_data=2, n_tiles=2)
+    frames = _frames(B=7, H=32, W=24, seed=23)  # 7 frames, batch 4 → 4+3
+    p = tmp_path / "w.dbde"
+    write_video_sharded(p, frames, mesh, frame_hz=2.0, batch_size=4)
+    seen, sizes = [], []
+    for headers, chunk in iter_video_sharded(p, mesh, batch_size=4):
+        assert chunk.shape[0] == len(headers)
+        sizes.append(chunk.shape[0])
+        seen.append(chunk)
+    assert sizes == [4, 3]
+    np.testing.assert_array_equal(np.concatenate(seen), frames)
+    vh, headers, out = read_video_sharded(p, mesh, batch_size=4)
+    np.testing.assert_array_equal(out, frames)
+    assert [h.index for h in headers] == list(range(7))
 
 
 def test_sharded_file_write_and_read(tmp_path):
