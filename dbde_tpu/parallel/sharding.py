@@ -409,7 +409,7 @@ def assemble_payload_host(segments, totals) -> list[np.ndarray]:
     return [pay[b, : 2 * int(n64[b])].copy() for b in range(pay.shape[0])]
 
 
-def assemble_payload_padded(segments, totals):
+def assemble_payload_padded(segments, totals, out=None):
     """Sharded segments → one padded (B, mx) u32 payload matrix + n64 (B,).
 
     The writer-side host leg: each frame's flat stream is its shards'
@@ -419,6 +419,12 @@ def assemble_payload_padded(segments, totals):
     padding nor a zero fill is needed.  One contiguous memcpy per (frame,
     shard); no intermediate per-frame list, no second copy, no worst-case
     memset (the round-4 writer paid all three).
+
+    ``out``: optional reusable (≥B, ≥mx) u32 buffer — fresh-page faults on
+    a per-batch allocation, not the copies, dominate this leg (measured
+    tools/probe_sharded_io.py); rows may be wider than mx (consumers read
+    per-row prefixes).  Returns (matrix (B, ≥mx) u32, n64 (B,) i64);
+    allocates when ``out`` is absent or too small.
     """
     totals = np.asarray(totals)
     n_tiles = totals.shape[0]
@@ -429,7 +435,10 @@ def assemble_payload_padded(segments, totals):
     bases = np.cumsum(counts, axis=1) - counts
     words = counts.sum(1)
     mx = int(words.max()) if B else 0
-    pay = np.empty((B, mx), np.uint32)
+    if out is not None and out.shape[0] >= B and out.shape[1] >= mx:
+        pay = out[:B]
+    else:
+        pay = np.empty((B, mx), np.uint32)
     for b in range(B):
         row = pay[b]
         for s in range(n_tiles):
@@ -456,7 +465,7 @@ def segment_slot_words(W: int, H: int, n_tiles: int, backend: str = "auto") -> i
 
 
 def split_payload_host(payload, depths, H: int, W: int, n_tiles: int,
-                       backend: str = "auto") -> np.ndarray:
+                       backend: str = "auto", out=None) -> np.ndarray:
     """File-flat per-frame payloads → per-shard worst-case segments.
 
     The inverse of :func:`assemble_payload_host`, computable entirely on
@@ -477,6 +486,13 @@ def split_payload_host(payload, depths, H: int, W: int, n_tiles: int,
     skipping the worst-case zero fill saves more host time per batch than
     the copies themselves cost (the slots are sized for 16 words/tile; live
     camera content fills ~a third of that).
+
+    ``out``: optional reusable (B, n_tiles*S_local) u32 buffer.  Fresh-page
+    faults on the worst-case-sized per-batch allocation dominate this leg
+    (measured 14 ms/batch at 16×2048² vs ~2 ms for the copies,
+    tools/probe_sharded_io.py) — :func:`iter_video_sharded` pools these
+    buffers with the same release-gating discipline as the single-chip
+    reader's parse pool.
     """
     depths = np.asarray(depths)
     payload = np.asarray(payload)
@@ -491,13 +507,15 @@ def split_payload_host(payload, depths, H: int, W: int, n_tiles: int,
     counts = 2 * depths.reshape(B, n_tiles, h_loc * w).astype(np.int64).sum(-1)
     bases = np.cumsum(counts, axis=1) - counts
     S_local = segment_slot_words(W, H, n_tiles, backend)
-    out = np.empty((B, n_tiles, S_local), np.uint32)
+    if out is None or out.shape != (B, n_tiles * S_local):
+        out = np.empty((B, n_tiles * S_local), np.uint32)
+    segs = out.reshape(B, n_tiles, S_local)
     for b in range(B):
         src = payload[b]
         for s in range(n_tiles):
             c = counts[b, s]
-            out[b, s, :c] = src[bases[b, s] : bases[b, s] + c]
-    return out.reshape(B, n_tiles * S_local)
+            segs[b, s, :c] = src[bases[b, s] : bases[b, s] + c]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -526,6 +544,8 @@ def write_video_sharded(path, frames, mesh: Mesh, frame_hz: float = 1.0,
     N, H, W = frames.shape
     n_data = mesh.shape["data"]
     step = max(batch_size - batch_size % n_data, n_data)
+    pay_buf = None  # reused across batches; os.writev is synchronous, so
+    # the buffer is free the moment _writev_all returns
     with open(path, "wb") as f:
         f.write(VideoHeader(height=H, width=W, frame_hz=frame_hz).pack(hz_as_integer))
         f.flush()  # the records below bypass the buffer via writev on the fd
@@ -537,7 +557,9 @@ def write_video_sharded(path, frames, mesh: Mesh, frame_hz: float = 1.0,
                 batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)])
             depth, mn, payload, totals, bases, Hp = encode_sharded(
                 batch, mesh, backend=backend)
-            pay, n64 = assemble_payload_padded(payload, totals)
+            pay, n64 = assemble_payload_padded(payload, totals, out=pay_buf)
+            if pay_buf is None or pay.shape[1] > pay_buf.shape[1]:
+                pay_buf = pay if pay.base is None else None
             iov = record_iovecs(np.asarray(depth)[:n], np.asarray(mn)[:n],
                                 pay[:n], n64[:n], indices=range(i, i + n))
             _writev_all(f.fileno(), iov)
@@ -574,6 +596,11 @@ def iter_video_sharded(path, mesh: Mesh, backend: str = "auto",
         Hp = 8 * tile_grid(W, H)[0]
         raw = rd.iter_raw()
         pending = collections.deque()
+        seg_pool: dict = {}  # batch shape → free segment buffers (reused:
+        # fresh worst-case allocations page-fault at ~1.3 GB/s, dominating
+        # the split leg; release-gated like DbdeReader._pooled_batches —
+        # a buffer returns only after its decode materialized, which
+        # implies the h2d transfer consumed it)
 
         def dispatch():
             item = next(raw, None)
@@ -588,19 +615,25 @@ def iter_video_sharded(path, mesh: Mesh, backend: str = "auto",
                 mins = np.concatenate([mins, z8])
                 payload = np.concatenate(
                     [payload, np.zeros((pad, payload.shape[1]), np.uint32)])
-            segments = split_payload_host(payload, depths, H, W, n_tiles, backend)
+            free = seg_pool.setdefault(depths.shape[0], [])
+            buf = free.pop() if free else None
+            segments = split_payload_host(payload, depths, H, W, n_tiles,
+                                          backend, out=buf)
             out = decode_sharded_dispatch(depths, mins, segments, mesh, H=H,
                                           W=W, Hp=Hp, backend=backend,
                                           uniform8=uniform8)
-            pending.append((headers, out, n))
+            pending.append((headers, out, n, segments))
             return True
 
         while len(pending) < pipeline and dispatch():
             pass
         while pending:
             dispatch()  # overlap: parse + split + dispatch while device busy
-            headers, out, n = pending.popleft()
-            yield headers, decode_sharded_materialize(out, H, W)[:n]
+            headers, out, n, segments = pending.popleft()
+            frames = decode_sharded_materialize(out, H, W)[:n]
+            # decode output on host ⇒ h2d transfer done ⇒ buffer free
+            seg_pool[segments.shape[0]].append(segments)
+            yield headers, frames
 
 
 def read_video_sharded(path, mesh: Mesh, backend: str = "auto",
