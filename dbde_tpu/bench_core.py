@@ -93,6 +93,26 @@ def make_adversarial(width: int, height: int, frames: int, maxd: int = 8,
     return np.ascontiguousarray(img[:, :height, :width])
 
 
+def make_uniform8(width: int, height: int, frames: int, seed: int = 0
+                  ) -> np.ndarray:
+    """Frames whose EVERY 8x8 tile (including cropped edge tiles) realizes
+    depth exactly 8 — the uniform-8 permutation-kernel regime
+    (dbde_util.cpp:57-63 analogue).  Random bytes with per-tile extremes
+    pinned: rows ≡0 (mod 8) carry 0 on cols ≡0 (mod 4), rows ≡1 carry 255
+    on cols ≡1 (mod 4), so any tile with ≥2 real rows and ≥2 real cols
+    spans [0, 255].  Geometries with H%8==1 or W%8==1 have single-pixel
+    edge tiles that cannot reach depth 8 → ValueError.  Used by the u8 CI
+    fuzz (tests/test_uniform8.py) and tools/tpu_soak.py."""
+    if height % 8 == 1 or width % 8 == 1:
+        raise ValueError("H%8==1 or W%8==1 leaves single-pixel edge tiles "
+                         "that cannot realize depth 8")
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (frames, height, width)).astype(np.uint8)
+    img[:, 0::8, 0::4] = 0
+    img[:, 1::8, 1::4] = 255
+    return img
+
+
 def _measure(fn, *args, reps: int = 4) -> float:
     """Seconds per execution: device-trace time on TPU, wall clock fallback."""
     import jax

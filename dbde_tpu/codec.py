@@ -438,6 +438,16 @@ class DbdeCodec:
     >>> codec = DbdeCodec(height=480, width=640)
     >>> enc = codec.encode(frames_u8)          # (B, H, W) u8 on any backend
     >>> out = codec.decode(enc.depths, enc.mins, enc.payload)
+
+    Thread safety: a codec instance is NOT safe for concurrent ``encode``
+    calls.  The adaptive band backend keeps sticky dispatch state
+    (``_mplanes`` / ``_encode`` / ``_last_stat``) that ``encode`` reads and
+    mutates unsynchronized — racing threads could pair one batch's variant
+    with another's verification and skip a misprediction re-encode
+    (corrupt payload, not just a perf loss).  Use one codec per thread, one
+    lock around ``encode``, or ``adaptive=False`` (whose only state is the
+    jit caches, which are thread-safe).  ``decode`` and the non-band
+    backends are stateless after construction and safe to share.
     """
 
     def __init__(self, height: int, width: int, backend: str = "auto",

@@ -11,8 +11,11 @@ full groups; see kernel_common._mask_past_total and ROUND3_NOTES), runs the
 compiled kernels on the real chip with adaptive reduced-plane dispatch
 enabled (each case encodes a shallow batch first, then a depth-8 batch, so
 the sticky predictor takes a misprediction re-encode at least once per
-depth-8 case), and byte-compares depths + payload + decode against the
-numpy oracle (record layout dbde_util.cpp:137-180).
+depth-8 case; geometries that support the uniform-8 permutation kernels
+also rotate through two uniform-8 batches — asserting the u8 kernels
+actually dispatched — and a u8→reduced misprediction flip), and
+byte-compares depths + payload + decode against the numpy oracle (record
+layout dbde_util.cpp:137-180).
 
 Usage: tools/tpu_soak.py [n_cases] [seed]   (default 20 cases, seed 0)
 Each new geometry costs one TPU compile (~20-40 s); 20 cases ~= 15 min.
@@ -23,8 +26,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from dbde_tpu.bench_core import make_adversarial
-from dbde_tpu.codec import DbdeCodec
+from dbde_tpu.bench_core import make_adversarial, make_uniform8
+from dbde_tpu.codec import DbdeCodec, uniform8_supported
 from dbde_tpu import ref_numpy as ref
 
 
@@ -77,6 +80,21 @@ def main() -> None:
         check_case(codec, adversarial_frames(rng, B, H, W, 8), tag + " d8")
         check_case(codec, adversarial_frames(rng, B, H, W, maxd_shallow),
                    tag + " shallow2")
+        # Uniform-8 rotation: two uniform batches (first observes (8,8), the
+        # second dispatches the u8 permutation kernels when the geometry
+        # supports them — randomized planner coverage beyond the two bench
+        # shapes), then shallow again (u8 -> reduced misprediction flip).
+        if H % 8 != 1 and W % 8 != 1:
+            u8 = "u8" if uniform8_supported(H, W) else "general-d8"
+            check_case(codec, make_uniform8(W, H, B,
+                       seed=int(rng.integers(1 << 31))), tag + f" uni8a/{u8}")
+            check_case(codec, make_uniform8(W, H, B,
+                       seed=int(rng.integers(1 << 31))), tag + f" uni8b/{u8}")
+            if u8 == "u8":
+                assert codec._mplanes == "u8", tag  # the u8 kernels RAN
+            check_case(codec, adversarial_frames(rng, B, H, W, maxd_shallow),
+                       tag + " shallow3")
+            tag += f" +uni8({u8})"
         print(f"ok {tag}", flush=True)
     print(f"TPU SOAK OK ({n_cases} cases, seed {seed})")
 
