@@ -88,6 +88,17 @@ DECODE_GATHER_CLASSES = None  # optional (5, 10, 17): row-count classes for
 # ``pl.ds``-on-SMEM-scalar reads inside the branch hung the chip outright.)
 
 
+DECODE_BLOCK_U8 = False  # per-BLOCK uniform depth-8 window fast path: blocks
+# whose SMEM kmask is exactly 1<<8 replace the 17-row window select chain
+# with a 2-gather stream alignment + static (16,8,16) lane↔row permutation
+# (see _decode_kernel).  Targets mixed batches with u8-heavy blocks — the
+# batch-level u8 kernel gate (codec.py) requires the WHOLE batch uniform
+# and never fires there.  The branch is per-block on an SMEM scalar with
+# the staged-row reads hoisted (the per-group DECODE_GATHER_CLASSES cliff
+# and the in-branch dynamic-read hang are both documented above).  Default
+# False until probed on hardware (tools/probe_blocku8.py): the transpose
+# lowering and the block-granularity branch cost are unmeasured.
+
 ENCODE_COMPACT_CLASSES = None  # optional (2, 4, 8): pair-row classes for
 # encode payload compaction, branched per group on SMEM scalars (a group
 # with ≤ 256·PR stream words only needs a (PR,128)-shaped binary search /
@@ -1298,6 +1309,15 @@ def _decode_kernel(groups_row, bands, nent, chain_rows, gps, stage_rows,
     nb = pl.num_programs(1)
     mbase = (b * nb + g) * nent
     kmask = meta_ref[mbase]
+    # per-BLOCK uniform-8 window fast path: kmask == 1<<8 means every tile
+    # in the block (pads included — they would set bit 0) has depth 8, so
+    # every group's stream is exactly 2048 words at offsets 16·tile and the
+    # 17-row select chain collapses to a 2-gather alignment + a static
+    # permutation (see gather_group).  A full uniform-8 group spans 17
+    # staged rows, so the arm only exists at the full chain variant.
+    u8blk = (kmask == jnp.int32(1 << 8)) if (
+        DECODE_BLOCK_U8 and chain_rows == 17 and ablate_stage is None
+    ) else None
 
     def _keep(v):
         """OR-reduce v to one row and tile it over the image block (keeps
@@ -1351,6 +1371,34 @@ def _decode_kernel(groups_row, bands, nent, chain_rows, gps, stage_rows,
                 win = jnp.where(src_row == rr, cand, win)
             win_ref[:, s, :] = win
 
+        if u8blk is not None:
+            # branch on the per-BLOCK SMEM-scalar condition only; the
+            # dynamic-offset staged-row reads (rows17) stay hoisted above —
+            # pl.ds-on-SMEM-scalar reads inside a branch hung the chip in
+            # the DECODE_GATHER_CLASSES experiment.
+            @pl.when(u8blk)
+            def _():
+                # stream word w of the group (w = 16·tile + j) sits at
+                # staged[lg0 + (r0+w)>>7][(r0+w)&127]; align first (2
+                # gathers: lane roll by r0 with a row carry), then the
+                # window win[j, t] = aligned[(16t+j)>>7][(16t+j)&127] is a
+                # STATIC permutation — reshape (16,8,16) and swap lanes↔
+                # rows: win.view(16,16,8)[j,o,i] = aligned.view(16,8,16)
+                # [o,i,j]
+                lanes16 = _lanes((16, LANES))
+                lidx = (r0 + lanes16) & (LANES - 1)
+                A = jnp.concatenate(rows17[0:16], axis=0)
+                Bn = jnp.concatenate(rows17[1:17], axis=0)
+                v0 = jnp.take_along_axis(A, lidx, axis=-1)
+                v1 = jnp.take_along_axis(Bn, lidx, axis=-1)
+                aligned = jnp.where(lanes16 < LANES - r0, v0, v1)
+                win = aligned.reshape(16, 8, 16).transpose(2, 0, 1)
+                win_ref[:, s, :] = win.reshape(16, LANES)
+
+            @pl.when(jnp.logical_not(u8blk))
+            def _():
+                chain(chain_rows)
+            return
         if not DECODE_GATHER_CLASSES:
             chain(chain_rows)
             return

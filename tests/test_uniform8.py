@@ -171,6 +171,41 @@ def test_uniform8_adaptive_dispatch():
     assert pack_frames_bytes(enc)[0][20:] == ref.pack_image(shallow[0])
 
 
+def test_decode_block_u8_mixed_blocks():
+    """Per-BLOCK uniform-8 window fast path (pallas_band.DECODE_BLOCK_U8):
+    a batch mixing pure-depth-8 grid blocks with shallow blocks decodes
+    bit-identically with the flag on — the u8 arm (2-gather alignment +
+    static permutation) fires for kmask==1<<8 blocks, the general chain for
+    the rest.  This is the per-block dispatch the batch-level u8 gate can
+    never reach (one shallow tile anywhere reverts the whole batch)."""
+    from dbde_tpu.bench_core import make_uniform8
+    from dbde_tpu.ops import pallas_band as pb
+
+    rng = np.random.default_rng(5)
+    W, H, B = 1024, 256, 2
+    img = np.empty((B, H, W), np.uint8)
+    img[:, :128] = make_uniform8(W, 128, B, seed=1)  # block(s) of pure d8
+    img[:, 128:] = (rng.integers(0, 32, (B, 128, W)) + 60).astype(np.uint8)
+    img32 = jax.lax.bitcast_convert_type(
+        jax.numpy.asarray(img.reshape(B, H, W // 4, 4)), jax.numpy.uint32)
+    d3, m3, payload = pb.encode_band_kernel(img32)
+    meta = np.asarray(pb.stream_meta(d3, W, pb.BLOCK_GROUPS_CAP_DEC))
+    nent = pb._geometry(W, H, pb.BLOCK_GROUPS_CAP_DEC)[3] + 2
+    kmasks = {int(meta.reshape(-1)[i * nent])
+              for i in range(meta.size // nent)}
+    assert 1 << 8 in kmasks and len(kmasks) > 1, [hex(k) for k in kmasks]
+    try:
+        pb.DECODE_BLOCK_U8 = False
+        base = np.asarray(pb.decode_band_kernel(d3, m3, payload, W))
+        pb.DECODE_BLOCK_U8 = True
+        fast = np.asarray(pb.decode_band_kernel(d3, m3, payload, W))
+    finally:
+        pb.DECODE_BLOCK_U8 = False
+    np.testing.assert_array_equal(fast, base)
+    dec = fast.view(np.uint8).reshape(B, H, -1)[:, :, :W]
+    np.testing.assert_array_equal(dec, img)
+
+
 def test_uniform8_writer_deferred_verify(tmp_path):
     """DbdeWriter's deferred verify catches a u8 misprediction: a uniform-8
     batch followed by a mixed batch must still produce a byte-exact file."""
