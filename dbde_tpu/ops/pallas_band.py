@@ -751,26 +751,33 @@ ENCODE_INTERLEAVED_COMPACTION = True  # run the chunk's binary searches
 # encode/decode gap is the format's inverse-map (stream-slot → tile)
 # having no closed form, unlike decode's forward map.
 
-ENCODE_ROWCENTRIC_COMPACTION = False  # compact with SUBLANES = GROUPS and a
-# pair-row LEVEL loop (kernel_common._compact_chunk_rowcentric): per-group
+ENCODE_ROWCENTRIC_COMPACTION = "auto"  # compact with SUBLANES = GROUPS and
+# a pair-row LEVEL loop (kernel_common._compact_chunk_rowcentric): per-group
 # work scales with mplanes instead of the worst-case PR=8, sources are
 # natural contiguous slices (no row broadcasts/repeats), and the 8 groups'
-# binary searches share each (8,128) op.  MEASURED NET-NEUTRAL-TO-LOSS on
+# binary searches share each (8,128) op.  Alone it is NET-NEUTRAL-TO-LOSS on
 # v5e despite ~43% fewer gather elements at mplanes=5 (camera 8x2048²,
 # tools/probe_rowcentric.py): payload kernel 0.861 ms vs interleaved 0.842,
 # whole encode 34.9 vs 35.6 Gpix/s — the compaction stage itself IS faster
 # (ablate_stage=2: 0.759 vs 0.885 ms) but the batched formulation denies
 # Mosaic the per-group compaction/splice overlap the interleaved strategy
-# gets for free, and the splice re-serializes (+0.10 ms).  "auto" = enable
-# for reduced-plane variants; True/False force/disable for A/B.
+# gets for free, and the splice re-serializes (+0.10 ms).  WITH
+# ENCODE_CHUNK_PREFETCH the overlap comes back explicitly and the saving
+# lands: payload kernel 0.635 ms, whole camera encode 35.6 → 45.7 Gpix/s.
+# "auto" (production) = enable for reduced-plane variants (mplanes < 8,
+# where the level loop is short); True/False force/disable for A/B.
 
-ENCODE_CHUNK_PREFETCH = False  # with a batched compaction strategy
+ENCODE_CHUNK_PREFETCH = True  # with a batched compaction strategy
 # (rowcentric), compute chunk c+1's segments BEFORE chunk c's splice in
 # program order, so the serial 16-row splice chain schedules into the next
 # compaction's shadow.  Irrelevant for the per-group strategies (their
-# compaction/splice work already interleaves group-by-group).  UNVALIDATED:
-# the doubled live-segment state is a vreg-spill risk; keep False until
-# probed (tools/probe_rowcentric.py).
+# compaction/splice work already interleaves group-by-group).  MEASURED THE
+# WIN that makes rowcentric pay (v5e camera 8x2048², mplanes=5,
+# tools/probe_rowcentric.py): payload kernel 0.842 → 0.635 ms, whole encode
+# 35.6 → 45.7 Gpix/s — the feared vreg spill from the doubled live-segment
+# state does not materialize at mplanes ≤ 5 level counts.  Byte parity of
+# every strategy combination is pinned in CI
+# (test_pallas_kernels.test_encode_compaction_strategy_parity).
 
 ENCODE_BATCHED_COMPACTION = False  # batch the chunk's 8 per-group pair
 # compactions into (64,128)-shaped ops.  MEASURED A LOSS on v5e — leave

@@ -158,6 +158,48 @@ def test_band_kernel_variant_parity():
     )
 
 
+def test_encode_compaction_strategy_parity():
+    """The compaction-strategy flags (ENCODE_ROWCENTRIC_COMPACTION and its
+    ENCODE_CHUNK_PREFETCH refinement — the branchless level-loop formulation
+    of the depth-class split, see pallas_band.py flag docs) must be
+    byte-identical to the production interleaved strategy.  Covers the
+    multi-chunk path (W=3072 → groups > GROUPS_PER_STAGE, where prefetch
+    emits chunk c+1's compaction before chunk c's splice and the carry
+    crosses chunk seams) at mplanes=5, and the single-geometry full-depth
+    mplanes=8 case.  Hardware numbers: tools/probe_rowcentric.py."""
+    import dbde_tpu.ops.pallas_band as pb
+
+    rng = np.random.default_rng(29)
+    cases = [
+        # (frames, mplanes): shallow multi-chunk wide grid; full-depth 1024
+        ((rng.integers(0, 16, (1, 64, 3072)) + 100).astype(np.uint8), 5),
+        (rng.integers(0, 256, (1, 96, 1024)).astype(np.uint8), 8),
+    ]
+    for frames, mp in cases:
+        B, H, W = frames.shape
+        h, w = tile_grid(W, H)
+        T = h * w
+        hp8 = pb.pad_rows(H, W)
+        padded = np.zeros((B, hp8, W), np.uint8)
+        padded[:, :H] = frames
+        img32 = jnp.asarray(padded.view(np.uint32))
+        d, m = pb.encode_depths_kernel(img32)
+        meta = pb.stream_meta(d, W)
+        exp = ref.pack_image(frames[0])
+        exp_p = np.frombuffer(exp, np.uint32, offset=12 + 2 * T)
+        orig = (pb.ENCODE_ROWCENTRIC_COMPACTION, pb.ENCODE_CHUNK_PREFETCH)
+        try:
+            for rc, pf in ((False, False), (True, False), (True, True)):
+                pb.ENCODE_ROWCENTRIC_COMPACTION = rc
+                pb.ENCODE_CHUNK_PREFETCH = pf
+                p = np.asarray(
+                    pb.encode_payload_kernel(meta, img32, d, m, mplanes=mp)
+                ).reshape(-1)[: len(exp_p)]
+                np.testing.assert_array_equal(p, exp_p, err_msg=str((W, rc, pf, mp)))
+        finally:
+            pb.ENCODE_ROWCENTRIC_COMPACTION, pb.ENCODE_CHUNK_PREFETCH = orig
+
+
 def roundtrip_check(pk, frames):
     B, H, W = frames.shape
     h, w = tile_grid(W, H)

@@ -45,9 +45,13 @@ def mixed_frames():
 
 
 codec = DbdeCodec(height=H, width=W, backend="band")
-for name, frames in (("mixed", mixed_frames()),
-                     ("camera", make_content(W, H, B, "camera")),
+# camera first: no qualifying blocks, so the u8 arm compiles + ships but
+# never fires — the lowest-risk first hardware exposure of the new
+# constructs (a bad program wedges the chip; see CLAUDE.md)
+for name, frames in (("camera", make_content(W, H, B, "camera")),
+                     ("mixed", mixed_frames()),
                      ("uniform", make_uniform8(W, H, B, seed=3))):
+    print(f"--- {name}: encoding...", flush=True)
     img32 = jax.device_put(codec._to_img32(frames))
     d3, m3, payload = jax.jit(pb.encode_band_kernel)(img32)
     base = None
@@ -63,7 +67,7 @@ for name, frames in (("mixed", mixed_frames()),
         else:
             ok = "parity OK" if (out == base).all() else "PARITY FAIL"
         print(f"{name}: block_u8={flag} decode {t*1e3:.3f} ms "
-              f"= {npix/t/1e9:.1f} Gpix/s  {ok}")
+              f"= {npix/t/1e9:.1f} Gpix/s  {ok}", flush=True)
     if name == "uniform":
         from dbde_tpu.codec import uniform8_supported
 
@@ -74,5 +78,5 @@ for name, frames in (("mixed", mixed_frames()),
             out = np.asarray(fn(m3, payload))
             ok = "parity OK" if (out == base).all() else "PARITY FAIL"
             print(f"{name}: dedicated u8 kernel {t*1e3:.3f} ms "
-                  f"= {npix/t/1e9:.1f} Gpix/s  {ok}")
+                  f"= {npix/t/1e9:.1f} Gpix/s  {ok}", flush=True)
 pb.DECODE_BLOCK_U8 = False
