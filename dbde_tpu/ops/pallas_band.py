@@ -751,7 +751,7 @@ ENCODE_INTERLEAVED_COMPACTION = True  # run the chunk's binary searches
 # encode/decode gap is the format's inverse-map (stream-slot → tile)
 # having no closed form, unlike decode's forward map.
 
-ENCODE_ROWCENTRIC_COMPACTION = "auto"  # compact with SUBLANES = GROUPS and
+ENCODE_ROWCENTRIC_COMPACTION = True  # compact with SUBLANES = GROUPS and
 # a pair-row LEVEL loop (kernel_common._compact_chunk_rowcentric): per-group
 # work scales with mplanes instead of the worst-case PR=8, sources are
 # natural contiguous slices (no row broadcasts/repeats), and the 8 groups'
@@ -763,9 +763,13 @@ ENCODE_ROWCENTRIC_COMPACTION = "auto"  # compact with SUBLANES = GROUPS and
 # Mosaic the per-group compaction/splice overlap the interleaved strategy
 # gets for free, and the splice re-serializes (+0.10 ms).  WITH
 # ENCODE_CHUNK_PREFETCH the overlap comes back explicitly and the saving
-# lands: payload kernel 0.635 ms, whole camera encode 35.6 → 45.7 Gpix/s.
-# "auto" (production) = enable for reduced-plane variants (mplanes < 8,
-# where the level loop is short); True/False force/disable for A/B.
+# lands at EVERY plane count (whole-encode Gpix/s, 8x2048²):
+#   mplanes=5 camera content  35.6 → 45.7   (payload 0.842 → 0.635 ms)
+#   mplanes=8 camera content  34.0 → 39.3   (payload 0.887 → 0.754 ms)
+#   mplanes=8 random content  34.5 → 40.0   (payload 0.873 → 0.740 ms —
+#     full 16-word streams; no vreg spill from the doubled live segments)
+# True (production) = all variants; "auto" = reduced-plane variants only
+# (mplanes < 8); False = the round-4 interleaved strategy for A/B.
 
 ENCODE_CHUNK_PREFETCH = True  # with a batched compaction strategy
 # (rowcentric), compute chunk c+1's segments BEFORE chunk c's splice in
