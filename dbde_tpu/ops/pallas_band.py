@@ -90,14 +90,27 @@ DECODE_GATHER_CLASSES = None  # optional (5, 10, 17): row-count classes for
 
 DECODE_BLOCK_U8 = False  # per-BLOCK uniform depth-8 window fast path: blocks
 # whose SMEM kmask is exactly 1<<8 replace the 17-row window select chain
-# with a 2-gather stream alignment + static (16,8,16) lane↔row permutation
+# with a 2-gather stream alignment + a static lane↔row permutation
 # (see _decode_kernel).  Targets mixed batches with u8-heavy blocks — the
 # batch-level u8 kernel gate (codec.py) requires the WHOLE batch uniform
 # and never fires there.  The branch is per-block on an SMEM scalar with
 # the staged-row reads hoisted (the per-group DECODE_GATHER_CLASSES cliff
-# and the in-branch dynamic-read hang are both documented above).  Default
-# False until probed on hardware (tools/probe_blocku8.py): the transpose
-# lowering and the block-granularity branch cost are unmeasured.
+# and the in-branch dynamic-read hang are both documented above).  The
+# permutation's direct (16,8,16)-reshape form does NOT lower on Mosaic
+# (clean compile error; tools/probe_transpose_when.py); the gated form is
+# 8 per-16-lane-block 2D transposes + one static gather, verified on
+# hardware standalone.  MEASURED A HEAVY LOSS IN THE FULL KERNEL — leave
+# False.  v5e 8x2048² A/B (tools/probe_blocku8.py, parity OK all rows):
+#   camera  (branch never taken)  68.2 → 68.3 Gpix/s — untaken arm is free
+#   mixed   (arm on half the blocks)  52.6 → 17.9 — 2.9x SLOWER
+#   uniform (arm everywhere)  53.6 → 12.3 — 4.4x slower (the dedicated
+#     batch-level u8 kernel does 98.8 on the same payload)
+# Same Mosaic cliff as DECODE_GATHER_CLASSES: a taken pl.when around the
+# window work destroys the static window/DMA pipeline, and the in-arm
+# 16x16 transposes serialize.  Per-block class dispatch inside this kernel
+# is now a closed negative at both granularities; the profitable class
+# split stays at BATCH granularity (codec.py dispatch → dedicated u8
+# kernels).
 
 ENCODE_COMPACT_CLASSES = None  # optional (2, 4, 8): pair-row classes for
 # encode payload compaction, branched per group on SMEM scalars (a group
@@ -1393,9 +1406,13 @@ def _decode_kernel(groups_row, bands, nent, chain_rows, gps, stage_rows,
                 # staged[lg0 + (r0+w)>>7][(r0+w)&127]; align first (2
                 # gathers: lane roll by r0 with a row carry), then the
                 # window win[j, t] = aligned[(16t+j)>>7][(16t+j)&127] is a
-                # STATIC permutation — reshape (16,8,16) and swap lanes↔
-                # rows: win.view(16,16,8)[j,o,i] = aligned.view(16,8,16)
-                # [o,i,j]
+                # STATIC permutation.  The direct form — reshape (16,8,16)
+                # + transpose(2,0,1) — does NOT lower ("infer-vector-layout:
+                # unsupported shape cast", tools/probe_transpose_when.py
+                # stage 1); this lane-preserving variant does (stage 3):
+                # concat_b(aligned[:,16b:+16]^T) lands the value at
+                # [j, 16b+o], and one static lane gather 16(l&7)+(l>>3)
+                # finishes win[j, 8o+b] = aligned[o, 16b+j].
                 lanes16 = _lanes((16, LANES))
                 lidx = (r0 + lanes16) & (LANES - 1)
                 A = jnp.concatenate(rows17[0:16], axis=0)
@@ -1403,8 +1420,11 @@ def _decode_kernel(groups_row, bands, nent, chain_rows, gps, stage_rows,
                 v0 = jnp.take_along_axis(A, lidx, axis=-1)
                 v1 = jnp.take_along_axis(Bn, lidx, axis=-1)
                 aligned = jnp.where(lanes16 < LANES - r0, v0, v1)
-                win = aligned.reshape(16, 8, 16).transpose(2, 0, 1)
-                win_ref[:, s, :] = win.reshape(16, LANES)
+                xt = jnp.concatenate(
+                    [aligned[:, 16 * b : 16 * b + 16].T for b in range(8)],
+                    axis=1)
+                win_ref[:, s, :] = jnp.take_along_axis(
+                    xt, 16 * (lanes16 & 7) + (lanes16 >> 3), axis=-1)
 
             @pl.when(jnp.logical_not(u8blk))
             def _():
