@@ -20,10 +20,15 @@ from dbde_tpu.utils.profiling import measure_device_seconds
 import jax
 
 content = sys.argv[1] if len(sys.argv) > 1 else "camera"
-variants = [int(a) for a in sys.argv[2:]] or [8, 6, 5, 4]
+rest = sys.argv[2:]
+sigma = None
+if rest and "." in rest[0]:  # optional noise-scale override (e.g. 0.35)
+    sigma = float(rest[0])
+    rest = rest[1:]
+variants = [int(a) for a in rest] or [8, 6, 5, 4]
 H = W = 2048
 B = 8
-src = make_content(W, H, B, content)
+src = make_content(W, H, B, content, sigma=sigma)
 codec = DbdeCodec(height=H, width=W, backend="band")
 img32 = codec._to_img32(src)
 maxd = 0
